@@ -1,0 +1,80 @@
+"""Shared CLI plumbing for train/inference/evaluate entry points."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from object_detection_torch2_tpu.data.labelmap import LabelMap
+from object_detection_torch2_tpu.models.convert import merge_variables, ssd_trunk_from_vgg16_variables
+from object_detection_torch2_tpu.models.ssd import SSD
+from object_detection_torch2_tpu.train import checkpoint as ckpt
+
+# reference data roots were hardcoded (reference: train.py:43, 50); here they are flags
+DEFAULT_TRAIN_DIRS = ["/work/data/VOCdevkit/VOC2007", "/work/data/VOCdevkit/VOC2012"]
+DEFAULT_TEST_DIRS = ["/work/data/VOCdevkit/VOC2007"]
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def add_common_args(parser, batch_size_default: int):
+    parser.add_argument("--imsize", type=int, default=300)
+    parser.add_argument("--batch_size", type=int, default=batch_size_default)
+    parser.add_argument("--num_workers", type=int, default=8)  # accepted for CLI parity; prefetch-based loader
+    parser.add_argument("--result_dir", type=str, default="./result")
+    parser.add_argument("--weights", type=str, default="weights.msgpack")
+    # TPU-native extensions
+    parser.add_argument("--data_dirs", type=str, nargs="+", default=None)
+    parser.add_argument("--records_dir", type=str, default=None, help="packed records (data/records.py)")
+    parser.add_argument("--dtype", type=str, choices=list(DTYPES), default="bfloat16")
+    parser.add_argument("--max_gt", type=int, default=64)
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument(
+        "--bn_mode",
+        choices=["batch", "running"],
+        default="batch",
+        help="parity default 'batch': the reference never calls .eval() (quirk Q9)",
+    )
+
+
+def build_ssd(args, weights_path: Path):
+    """SSD model + variables, honoring the reference's auto-load order
+    (reference: ssd.py:25, 79-84): full SSD weights if present, else VGG16
+    classification weights for the trunk, else random init."""
+    labelmap = LabelMap("PascalVOC")
+    num_classes = len(labelmap) + 1
+    model = SSD(num_classes=num_classes, dtype=DTYPES[args.dtype])
+
+    variables = None
+    if weights_path.exists():
+        print("weights loaded.")
+        variables = ckpt.load_weights(weights_path)
+    else:
+        import jax
+
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(rng, jnp.zeros((1, args.imsize, args.imsize, 3)), train=False)
+        variables = {"params": dict(variables["params"]), "batch_stats": dict(variables["batch_stats"])}
+        vgg_path = Path(args.result_dir) / "classification" / args.weights
+        if vgg_path.exists():
+            print("vgg16 trunk weights loaded.")
+            vgg_vars = ckpt.load_weights(vgg_path)
+            variables = merge_variables(variables, ssd_trunk_from_vgg16_variables(vgg_vars))
+    return model, variables, labelmap
+
+
+def batched(iterable_len: int, batch_size: int):
+    for start in range(0, iterable_len, batch_size):
+        yield start, min(start + batch_size, iterable_len)
+
+
+def pad_batch(images: np.ndarray, batch_size: int):
+    """Pad a short final batch to the static batch size (avoids a recompile);
+    returns (padded, real_count)."""
+    n = images.shape[0]
+    if n == batch_size:
+        return images, n
+    pad = np.repeat(images[-1:], batch_size - n, axis=0)
+    return np.concatenate([images, pad], axis=0), n

@@ -1,0 +1,98 @@
+"""Input pipeline: shuffled batching + background prefetch onto the device mesh.
+
+Replaces the reference's torch DataLoader worker pool (its only concurrency —
+SURVEY.md §2.3) with the TPU-shaped equivalent: a background thread stages the
+next host batch and `jax.device_put`s it with the batch axis sharded over the
+mesh while the current step runs, so host work and TPU compute overlap. Batches
+are static-shaped (fixed batch size, fixed max-G) — no recompiles.
+
+Two sources:
+- RecordDataset (packed, memmap) — the fast path;
+- any indexable dataset yielding (image, gt) — the compatibility path, with
+  `collate`-style padding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from object_detection_torch2_tpu.data.voc import collate
+from object_detection_torch2_tpu.parallel import mesh as mesh_lib
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        max_gt: int = 64,
+        mesh=None,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.max_gt = max_gt
+        self.mesh = mesh
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+        self._is_records = hasattr(dataset, "batch")
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _host_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            if self._is_records:
+                images, gts = self.dataset.batch(np.sort(idx))
+                images, gts = np.ascontiguousarray(images), np.ascontiguousarray(gts)
+            else:
+                images, gts = collate([self.dataset[int(i)] for i in idx], max_gt=self.max_gt)
+            yield images, gts
+
+    def _place(self, batch):
+        if self.mesh is not None:
+            return mesh_lib.shard_batch(self.mesh, batch)
+        return batch
+
+    def __iter__(self):
+        """Yield device-placed (images, gts); a background thread keeps
+        `prefetch` batches staged ahead."""
+        self.epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._host_batches():
+                    q.put(self._place(batch))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

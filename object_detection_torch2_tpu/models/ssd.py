@@ -1,0 +1,179 @@
+"""SSD300 detector as a Flax module, TPU-first (NHWC, bf16-capable, jit-friendly).
+
+Architecture reproduces the reference (reference: src/model/ssd.py:22-106):
+
+- vgg16_bn trunk with canonical layer names `conv_L_S` / `bn_L_S` (`pool_5` dropped,
+  ssd.py:38-40). The `'M_P'` pools (pool_3, and pool_5 in plain VGG16) are
+  MaxPool2d(k=2, s=2, padding=1) — the pad on pool_3 is what yields 38x38 at
+  conv4_3 for 300x300 input (reference: src/model/vgg16.py:25-30).
+- extra layers 6-11, each Conv+BN+ReLU (ssd.py:49-66). Note: layer 6 is a plain
+  3x3 conv (no dilation) and every extra layer has BatchNorm — both deliberate
+  deviations from the SSD paper that the reference makes.
+- six 3x3 detector heads tapped after the ReLU of 4_3 / 7_1 / 8_2 / 9_2 / 10_2 /
+  11_2, H-major flattened and concatenated to (N, 8732, num_classes+4)
+  (ssd.py:70-77, 86-106 with bug B1 fixed to its intended dispatch — SURVEY.md).
+
+TPU notes: activations flow NHWC so the head outputs reshape directly into the
+reference's H-major anchor order (torch's permute(0,2,3,1) is the identity here).
+Convs run in `dtype` (bfloat16 recommended on TPU — MXU-native); BatchNorm and the
+final outputs stay float32 for numeric stability.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# ImageNet normalization (reference: src/model/vgg16.py:19-20)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# VGG16-bn conv blocks: block L -> (channels per conv, pool spec after block).
+# Pool 'M' = valid 2x2/2; 'M_P' = 2x2/2 with padding 1 (reference: vgg16.py:25-30).
+# Block 5's pool is dropped in SSD (reference: ssd.py:38-40).
+VGG_BLOCKS = (
+    (1, (64, 64), "M"),
+    (2, (128, 128), "M"),
+    (3, (256, 256, 256), "M_P"),
+    (4, (512, 512, 512), "M"),
+    (5, (512, 512, 512), None),
+)
+
+# Extra layers: (name, kernel, out_channels, stride, padding) (reference: ssd.py:49-54)
+EXTRA_LAYERS = (
+    ("6_1", 3, 1024, 1, 1),
+    ("7_1", 1, 1024, 1, 0),
+    ("8_1", 1, 256, 1, 0),
+    ("8_2", 3, 512, 2, 1),
+    ("9_1", 1, 128, 1, 0),
+    ("9_2", 3, 256, 2, 1),
+    ("10_1", 1, 128, 1, 0),
+    ("10_2", 3, 256, 1, 0),
+    ("11_1", 1, 128, 1, 0),
+    ("11_2", 3, 256, 1, 0),
+)
+
+# Detection taps: layer suffix -> anchors-per-cell A (reference: ssd.py:70-77)
+DETECTOR_TAPS = (("4_3", 4), ("7_1", 6), ("8_2", 6), ("9_2", 6), ("10_2", 4), ("11_2", 4))
+
+# torch kaiming_normal_(mode='fan_out', nonlinearity='relu') (reference: ssd.py:144-146)
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def normalize_image(x: jax.Array) -> jax.Array:
+    """(x - mean) / std per channel, NHWC, computed in float32 (reference: vgg16.py:103-115)."""
+    x = x.astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
+
+
+def max_pool_torch(x: jax.Array, pad: int) -> jax.Array:
+    """2x2/2 max pool with torch's symmetric -inf padding semantics."""
+    padding = ((pad, pad), (pad, pad)) if pad else "VALID"
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding=padding)
+
+
+class SSD(nn.Module):
+    """SSD300. Input (N, H, W, 3) in [0, 1]; output (N, 8732, num_classes + 4) float32.
+
+    `train` gates BatchNorm running-stat updates (mutable 'batch_stats') and
+    `use_batch_stats` selects batch vs running statistics. The reference never
+    calls `.eval()` (quirk Q9, SURVEY.md), so its inference also normalizes with
+    *batch* statistics — `use_batch_stats=None` follows that parity default
+    (always batch stats); pass False explicitly for conventional inference.
+    """
+
+    num_classes: int = 21
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    # 'highest' keeps f32 convs in true f32 (XLA's default lowers them to bf16
+    # passes); irrelevant when dtype=bfloat16, which is the TPU fast path.
+    precision: Any = jax.lax.Precision.HIGHEST
+
+    def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats):
+        x = nn.Conv(
+            features=features,
+            kernel_size=(kernel, kernel),
+            strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            precision=self.precision,
+            kernel_init=kaiming_out,
+            name=f"conv_{name_suffix}",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not use_batch_stats,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            use_fast_variance=False,
+            name=f"bn_{name_suffix}",
+        )(x.astype(jnp.float32))
+        return nn.relu(x).astype(self.dtype)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True, use_batch_stats: bool | None = None):
+        if use_batch_stats is None:
+            use_batch_stats = True  # parity default: reference never leaves train-mode BN (Q9)
+        n = x.shape[0]
+
+        x = normalize_image(x).astype(self.dtype)
+
+        taps = dict(DETECTOR_TAPS)
+        feature_maps = {}
+
+        # VGG trunk (reference: ssd.py:22-44)
+        for block, channels, pool in VGG_BLOCKS:
+            for sub, ch in enumerate(channels, start=1):
+                suffix = f"{block}_{sub}"
+                x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats)
+                if suffix in taps:
+                    feature_maps[suffix] = x
+            if pool is not None:
+                x = max_pool_torch(x, pad=1 if pool == "M_P" else 0)
+
+        # extra layers (reference: ssd.py:46-68)
+        for suffix, kernel, ch, stride, pad in EXTRA_LAYERS:
+            x = self._conv_bn_relu(x, suffix, ch, kernel, stride, pad, train, use_batch_stats)
+            if suffix in taps:
+                feature_maps[suffix] = x
+
+        # detector heads + H-major flatten/concat (reference: ssd.py:70-77, 100-105)
+        outputs = []
+        for suffix, num_anchors in DETECTOR_TAPS:
+            y = nn.Conv(
+                features=num_anchors * (self.num_classes + 4),
+                kernel_size=(3, 3),
+                padding=((1, 1), (1, 1)),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                precision=self.precision,
+                kernel_init=kaiming_out,
+                name=f"det_{suffix}",
+            )(feature_maps[suffix])
+            # NHWC -> (N, H*W*A, C+4): rows ordered h-major, then w, then anchor —
+            # identical to torch's permute(0, 2, 3, 1).reshape (reference: ssd.py:103)
+            outputs.append(y.reshape(n, -1, self.num_classes + 4))
+
+        return jnp.concatenate(outputs, axis=1).astype(jnp.float32)
+
+    @staticmethod
+    def is_trainable(path: tuple) -> bool:
+        """Trainable-parameter predicate matching `SSD.train_params` (reference:
+        src/model/ssd.py:160-179): extra layers (6_1 onward) and detector heads;
+        the VGG trunk (blocks 1-5) is frozen."""
+        name = path[0] if path else ""
+        name = getattr(name, "key", name)
+        if name.startswith("det_"):
+            return True
+        for prefix in ("conv_", "bn_"):
+            if name.startswith(prefix):
+                layer = int(name[len(prefix):].split("_")[0])
+                return layer >= 6
+        return False

@@ -1,0 +1,97 @@
+"""Checkpoint / resume (reference: src/train.py:85-95, 145-152; SURVEY.md §5).
+
+Two layers, mirroring the reference's artifacts plus proper full-state restore:
+
+- `weights.msgpack` + `params.json` — the reference's surface: weights saved
+  only when TRAIN loss improves; params.json = {min_loss, lr, last_epoch}.
+  (The reference stores torch `weights.pth`; tools/torch_to_npz.py +
+  models/convert.py bridge that format.)
+- `orbax/` — full TrainState (trainable/frozen params, batch_stats, optimizer
+  moments, step). The reference's resume discards optimizer moments and
+  restarts LR decay from the saved lr (quirk Q7, reference train.py:85-98);
+  restoring from orbax keeps exact optimizer state instead. Both paths exist;
+  params.json keeps CLI parity.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_weights(path, variables: dict):
+    """Serialize {'params', 'batch_stats'} variables to msgpack."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host_vars = jax.tree.map(np.asarray, variables)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(host_vars))
+
+
+def load_weights(path) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def save_params_json(path, min_loss: float, lr: float, last_epoch: int):
+    """Reference params.json semantics (reference: train.py:150-152)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"min_loss": float(min_loss), "lr": float(lr), "last_epoch": int(last_epoch)}, f, indent=4)
+
+
+def load_params_json(path) -> dict | None:
+    path = Path(path)
+    if not path.exists():
+        return None
+    with open(path, "r") as f:
+        return json.load(f)
+
+
+# ------------------------------------------------------------------- orbax layer
+def save_train_state(ckpt_dir, state, step: int | None = None):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    step = int(state.step) if step is None else step
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        payload = {
+            "params": state.params,
+            "frozen": state.frozen,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        mngr.save(step, args=ocp.args.StandardSave(payload), force=True)
+        mngr.wait_until_finished()
+
+
+def restore_train_state(ckpt_dir, state):
+    """Restore into the structure of an existing (template) TrainState."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        step = mngr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": state.params,
+            "frozen": state.frozen,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = mngr.restore(step, args=ocp.args.StandardRestore(template))
+    return state.replace(
+        params=restored["params"],
+        frozen=restored["frozen"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )

@@ -1,0 +1,123 @@
+"""Jitted train/eval steps with data-parallel sharding.
+
+The whole reference hot path — normalize, 51-module trunk, 6 heads, matching,
+deltas, CE, top-k mining, reduction (SURVEY.md §3.5) — compiles into ONE XLA
+program per step here. Parallelism is sharding-driven: batches are placed with
+the batch axis sharded over the mesh's 'data' axis, state is replicated, and
+jit's "computation follows data" turns the gradient reduction into an ICI
+all-reduce automatically. Buffers are donated so parameters/optimizer state
+update in place in HBM.
+
+Validation parity note: the reference's validation pass runs under
+`torch.no_grad()` but never calls `net.eval()` (reference: src/train.py:127-139),
+so BatchNorm uses *batch* statistics AND keeps updating running stats during
+validation. `eval_step` reproduces exactly that (returns an updated state).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from object_detection_torch2_tpu.core.multibox import multibox_loss
+from object_detection_torch2_tpu.models.vgg16 import cross_entropy
+from object_detection_torch2_tpu.parallel import mesh as mesh_lib
+from object_detection_torch2_tpu.train.state import TrainState, merge_params
+
+
+class Trainer:
+    """Builds and caches the jitted steps for one (model, loss, mesh) combo.
+
+    loss_kind: 'multibox' (SSD detection; requires default_boxes) or
+    'cross_entropy' (VGG classification; `ce_parity_sign` reproduces the
+    reference's sign-flipped loss Q2 — off by default).
+    """
+
+    def __init__(
+        self,
+        model,
+        loss_kind: str = "multibox",
+        default_boxes=None,
+        alpha: float = 1.0,
+        mesh=None,
+        ce_parity_sign: bool = False,
+        use_batch_stats: bool = True,
+    ):
+        self.model = model
+        self.loss_kind = loss_kind
+        self.default_boxes = None if default_boxes is None else jnp.asarray(default_boxes)
+        self.alpha = alpha
+        self.mesh = mesh
+        self.ce_parity_sign = ce_parity_sign
+        self.use_batch_stats = use_batch_stats
+        if loss_kind == "multibox" and self.default_boxes is None:
+            raise ValueError("multibox loss requires default_boxes")
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ losses
+    def _loss(self, outputs, targets):
+        if self.loss_kind == "multibox":
+            return multibox_loss(outputs, targets, self.default_boxes, self.alpha)
+        return cross_entropy(outputs, targets, parity_sign=self.ce_parity_sign)
+
+    # ------------------------------------------------------------------- steps
+    def _forward(self, params, frozen, batch_stats, images, rng, train):
+        variables = {"params": merge_params(params, frozen), "batch_stats": batch_stats}
+        rngs = {"dropout": rng} if rng is not None else None
+        out, mutated = self.model.apply(
+            variables,
+            images,
+            train=train,
+            use_batch_stats=self.use_batch_stats,
+            mutable=["batch_stats"],
+            rngs=rngs,
+        )
+        # with use_batch_stats=False BatchNorm never writes, so the mutated
+        # collection comes back empty — keep the old stats (static check, trace-safe)
+        new_bs = mutated.get("batch_stats") or batch_stats
+        return out, new_bs
+
+    def _train_step_impl(self, state: TrainState, images, targets, rng=None):
+        def loss_fn(params):
+            outputs, new_bs = self._forward(params, state.frozen, state.batch_stats, images, rng, True)
+            return self._loss(outputs, targets), new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        return state, loss
+
+    def _eval_step_impl(self, state: TrainState, images, targets, rng=None):
+        # no_grad + train-mode BN (reference validation semantics)
+        outputs, new_bs = self._forward(state.params, state.frozen, state.batch_stats, images, None, True)
+        return state.replace(batch_stats=new_bs), self._loss(outputs, targets)
+
+    # ----------------------------------------------------------------- helpers
+    def init_state(self, rng, sample_images, tx, is_trainable=None, variables=None) -> TrainState:
+        """Initialize (or adopt converted) variables and build a TrainState,
+        replicated over the mesh if one is set."""
+        if variables is None:
+            variables = self.model.init({"params": rng, "dropout": rng}, sample_images, train=False)
+        if is_trainable is None:
+            is_trainable = getattr(type(self.model), "is_trainable", lambda path: True)
+        state = TrainState.create(variables, tx, is_trainable)
+        if self.mesh is not None:
+            state = mesh_lib.replicate(self.mesh, state)
+        return state
+
+    def place_batch(self, *arrays):
+        """Host arrays -> device, batch axis sharded over the mesh."""
+        arrays = tuple(jnp.asarray(a) for a in arrays)
+        if self.mesh is not None:
+            arrays = mesh_lib.shard_batch(self.mesh, arrays)
+        return arrays
+
+    def train_step(self, state, images, targets, rng=None):
+        return self._train_step(state, images, targets, rng)
+
+    def eval_step(self, state, images, targets):
+        return self._eval_step(state, images, targets)

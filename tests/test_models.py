@@ -1,0 +1,101 @@
+"""Model forward parity vs the reference torch models on identical weights.
+
+Weights are regenerated from the deterministic synthetic recipe
+(object_detection_torch2_tpu.utils.testing) using the key/shape manifest stored in the
+golden — no torch import needed here. This also end-to-end-tests the
+torch->flax converters (models/convert.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from object_detection_torch2_tpu.models.convert import (
+    ssd_variables_from_torch,
+    vgg16_variables_from_torch,
+)
+from object_detection_torch2_tpu.models.ssd import SSD
+from object_detection_torch2_tpu.models.vgg16 import VGG16, cross_entropy
+from object_detection_torch2_tpu.utils.testing import synth_state_dict_from_manifest
+
+
+def _nchw_to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def ssd_setup(goldens):
+    g = goldens("ssd_forward")
+    sd = synth_state_dict_from_manifest(g["manifest_keys"], g["manifest_shapes"])
+    variables = jax.tree.map(jnp.asarray, ssd_variables_from_torch(sd))
+    x = jnp.asarray(_nchw_to_nhwc(g["x"]))
+    return g, variables, x
+
+
+def test_ssd_forward_shape_and_train_parity(ssd_setup):
+    g, variables, x = ssd_setup
+    model = SSD(num_classes=21)
+    out, mutated = model.apply(variables, x, train=True, use_batch_stats=True, mutable=["batch_stats"])
+    assert out.shape == (2, 8732, 25)
+    np.testing.assert_allclose(np.asarray(out), g["out_train"], atol=5e-3)
+    # running stats must have been updated
+    bs0 = variables["batch_stats"]["bn_1_1"]["mean"]
+    assert not np.allclose(np.asarray(mutated["batch_stats"]["bn_1_1"]["mean"]), np.asarray(bs0))
+
+
+def test_ssd_forward_eval_parity(ssd_setup):
+    g, variables, x = ssd_setup
+    model = SSD(num_classes=21)
+    out = model.apply(variables, x, train=False, use_batch_stats=False)
+    np.testing.assert_allclose(np.asarray(out), g["out_eval"], atol=5e-3)
+
+
+def test_ssd_trainable_partition():
+    assert not SSD.is_trainable(("conv_1_1", "kernel"))
+    assert not SSD.is_trainable(("bn_5_3", "scale"))
+    assert SSD.is_trainable(("conv_6_1", "kernel"))
+    assert SSD.is_trainable(("bn_11_2", "bias"))
+    assert SSD.is_trainable(("conv_10_2", "kernel"))
+    assert SSD.is_trainable(("det_4_3", "kernel"))
+
+
+@pytest.fixture(scope="module")
+def vgg_setup(goldens):
+    g = goldens("vgg_forward")
+    sd = synth_state_dict_from_manifest(g["manifest_keys"], g["manifest_shapes"])
+    variables = jax.tree.map(jnp.asarray, vgg16_variables_from_torch(sd))
+    x = jnp.asarray(_nchw_to_nhwc(g["x"]))
+    return g, variables, x
+
+
+def test_vgg_forward_eval_parity(vgg_setup):
+    g, variables, x = vgg_setup
+    out = VGG16(num_classes=20).apply(variables, x, train=False)
+    assert out.shape == (2, 1000)
+    np.testing.assert_allclose(np.asarray(out), g["out_eval"], atol=5e-3)
+
+
+def test_vgg_transfer_head_parity(vgg_setup):
+    g, variables, x = vgg_setup
+    out = VGG16(num_classes=20, transfer_learning=True).apply(variables, x, train=False)
+    assert out.shape == (2, 20)
+    np.testing.assert_allclose(np.asarray(out), g["out_transfer"], atol=5e-3)
+
+
+def test_vgg_batchstats_parity(vgg_setup):
+    g, variables, x = vgg_setup
+    out, _ = VGG16(num_classes=20).apply(
+        variables, x, train=False, use_batch_stats=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(out), g["out_bn_batch"], atol=5e-3)
+
+
+def test_vgg_loss_q2_parity(goldens):
+    """Reference VGG loss is sign-flipped CE (quirk Q2); parity_sign reproduces it."""
+    g = goldens("vgg_forward")
+    logits, onehot = jnp.asarray(g["loss_logits"]), jnp.asarray(g["loss_onehot"])
+    parity = cross_entropy(logits, onehot, parity_sign=True)
+    proper = cross_entropy(logits, onehot)
+    np.testing.assert_allclose(float(parity), float(g["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(proper), -float(g["loss"]), rtol=1e-5)

@@ -1,0 +1,331 @@
+"""Generate golden parity fixtures by EXECUTING the reference implementation
+(/root/reference, torch CPU) and dumping inputs/outputs as .npz into tests/goldens/.
+
+Run once offline:  python tools/gen_goldens.py
+Tests then compare the JAX framework against these fixtures WITHOUT importing torch.
+
+The reference's dead head-dispatch (bug B1, SURVEY.md; reference src/model/ssd.py:102)
+is patched here to its intended behavior (`act_L_S` -> `det_L_S`), which is what
+produced the published README results. torch.hub is stubbed (zero-egress environment;
+the hub checkpoint is irrelevant because all weights are overwritten with the
+deterministic synthetic recipe from object_detection_torch2_tpu.utils.testing).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import torch
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "tests" / "goldens"
+OUT.mkdir(parents=True, exist_ok=True)
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, "/root/reference/src")
+
+from object_detection_torch2_tpu.utils.testing import pack_manifest, synth_array  # noqa: E402
+
+# stub torch.hub before importing the reference model package
+class _HubStub:
+    def state_dict(self):
+        return {}
+
+
+torch.hub.load = lambda *a, **k: _HubStub()
+
+# stub torchvision (absent in this environment; only needed transitively by the
+# reference's augmentation imports, which these goldens never execute)
+import types  # noqa: E402
+
+_tv = types.ModuleType("torchvision")
+_tvt = types.ModuleType("torchvision.transforms")
+_tvf = types.ModuleType("torchvision.transforms.functional")
+
+
+class _TVStub:
+    def __init__(self, *a, **k):
+        pass
+
+
+for _name in ("Compose", "ColorJitter", "RandomErasing", "ToTensor"):
+    setattr(_tvt, _name, type(_name, (_TVStub,), {}))
+_tvf.hflip = lambda x: x
+_tv.transforms = _tvt
+_tvt.functional = _tvf
+sys.modules["torchvision"] = _tv
+sys.modules["torchvision.transforms"] = _tvt
+sys.modules["torchvision.transforms.functional"] = _tvf
+
+from model import SSD, VGG16  # noqa: E402  (reference modules)
+import utils as ref_utils  # noqa: E402
+import evaluate as ref_eval  # noqa: E402
+
+
+def patched_forward(self, x):
+    """B1-fixed SSD.forward: tap act_L_S -> det_L_S (intended dispatch, SURVEY.md)."""
+    n = x.size(0)
+    ys = []
+    x = self.normalize(x)
+    for name, layer in self.features.items():
+        x = layer(x)
+        det = name.replace("act", "det")
+        if name.startswith("act") and det in self.detectors:
+            y = self.detectors[det](x).permute(0, 2, 3, 1).reshape(n, -1, self.num_classes + 4)
+            ys.append(y)
+    return torch.cat(ys, dim=1)
+
+
+SSD.forward = patched_forward
+
+
+def load_synth_weights(net):
+    sd = net.state_dict()
+    new = {k: torch.from_numpy(synth_array(k, tuple(v.shape))) for k, v in sd.items()}
+    net.load_state_dict(new)
+    return new
+
+
+def golden_anchors(ssd):
+    np.savez(OUT / "anchors.npz", default_bboxes=ssd.default_bboxes.numpy())
+    print("anchors:", ssd.default_bboxes.shape)
+
+
+def make_targets(rng, n, g_real, g_pad, num_classes=21):
+    """Detection GT tensor (N, G, 4+C), zero-padded rows beyond g_real[i]."""
+    gts = np.zeros((n, g_pad, 4 + num_classes), np.float32)
+    for i in range(n):
+        g = g_real[i]
+        cxcy = rng.uniform(0.2, 0.8, (g, 2))
+        wh = rng.uniform(0.05, 0.45, (g, 2))
+        cls = rng.integers(1, num_classes, g)
+        gts[i, :g, :2] = cxcy
+        gts[i, :g, 2:4] = wh
+        gts[i, np.arange(g), 4 + cls] = 1.0
+    return gts
+
+
+def golden_boxmath(ssd):
+    rng = np.random.default_rng(1234)
+    n, p, g = 3, 64, 7
+    pred = rng.standard_normal((n, p, 4)).astype(np.float32) * 0.3
+    gts = make_targets(rng, n, [3, 7, 5], g)
+    df = ssd.default_bboxes[:p].numpy()
+
+    t_pred, t_gts, t_df = map(torch.from_numpy, (pred, gts, df))
+    iou = ref_utils.calc_iou(t_gts[..., :4], torch.from_numpy(rng.uniform(0, 1, (n, 9, 4)).astype(np.float32)))
+    boxes_s = rng.uniform(0, 1, (n, 9, 4)).astype(np.float32)
+    iou = ref_utils.calc_iou(t_gts[..., :4], torch.from_numpy(boxes_s))
+    decode = ref_utils.calc_coordicate(t_pred, t_df)
+    match = ssd._match(gt=t_gts[..., :4], df=t_df)
+    delta = ssd._calc_delta(gt=t_gts[..., :4], df=t_df)
+    sl1 = ssd._smooth_l1(torch.from_numpy(rng.standard_normal((5, 8)).astype(np.float32) * 2))
+    logits = rng.standard_normal((n, p, 21)).astype(np.float32)
+    ce = ssd._softmax_cross_entropy(pr=torch.from_numpy(logits), gt=t_gts[..., 4:])
+    score_in = rng.standard_normal((n, p, 25)).astype(np.float32)
+    score = ref_utils.calc_score(torch.from_numpy(score_in))
+
+    pos = torch.tensor([10, 4000, 0, 2183, 8732])
+    neg = 8732 - pos
+    sp, sn = ssd._split_pos_neg(pos, neg)
+    kth_x = rng.standard_normal(50).astype(np.float32)
+    kth = [ssd._k_plus_1_th_value(torch.from_numpy(kth_x), torch.tensor(k)).item() for k in [0, 1, 5, 49]]
+
+    np.savez(
+        OUT / "boxmath.npz",
+        pred=pred, gts=gts, df=df, boxes_s=boxes_s, logits=logits, score_in=score_in,
+        sl1_in=sl1.numpy() * 0 + sl1.numpy(),  # keep as output; input recomputed below
+        iou=iou.numpy(), decode=decode.numpy(), match=match.numpy(), delta=delta.numpy(),
+        ce=ce.numpy(), score=score.numpy(),
+        split_pos_in=pos.numpy(), split_neg_in=neg.numpy(),
+        split_pos=sp.numpy(), split_neg=sn.numpy(),
+        kth_x=kth_x, kth_k=np.array([0, 1, 5, 49]), kth=np.array(kth, np.float32),
+    )
+    print("boxmath done")
+
+
+def golden_loss(ssd):
+    rng = np.random.default_rng(99)
+    n, p, c = 2, 8732, 21
+    outputs = (rng.standard_normal((n, p, 4 + c)) * 0.5).astype(np.float32)
+    targets = make_targets(rng, n, [3, 6], 6)
+    t_out, t_tgt = torch.from_numpy(outputs), torch.from_numpy(targets)
+    loss = ssd.loss(t_out, t_tgt, ssd.default_bboxes)
+
+    # also an edge case: one image with zero GT boxes
+    targets0 = make_targets(rng, n, [0, 4], 5)
+    loss0 = ssd.loss(t_out, torch.from_numpy(targets0), ssd.default_bboxes)
+
+    np.savez(
+        OUT / "loss.npz",
+        outputs=outputs, targets=targets, loss=np.float32(loss.item()),
+        targets0=targets0, loss0=np.float32(loss0.item()),
+    )
+    print("loss:", loss.item(), loss0.item())
+
+
+def golden_forward(ssd):
+    rng = np.random.default_rng(7)
+    sd = load_synth_weights(ssd)
+    x = rng.uniform(0, 1, (2, 3, 300, 300)).astype(np.float32)
+    tx = torch.from_numpy(x)
+    with torch.no_grad():
+        ssd.train()
+        out_train = ssd(tx).numpy()
+        ssd.eval()
+        out_eval = ssd(tx).numpy()
+    keys, shapes = pack_manifest(sd)
+    np.savez(
+        OUT / "ssd_forward.npz",
+        x=x, out_train=out_train, out_eval=out_eval,
+        manifest_keys=keys, manifest_shapes=shapes,
+    )
+    print("ssd forward:", out_train.shape, "train[0,:2,:4]:", out_train[0, :2, :4])
+
+
+def golden_vgg(num_classes=20):
+    torch.manual_seed(0)
+    vgg = VGG16(num_classes=num_classes)
+    sd = load_synth_weights(vgg)
+    rng = np.random.default_rng(21)
+    x = rng.uniform(0, 1, (2, 3, 200, 200)).astype(np.float32)  # imsize 200 -> 7x7 grid (Q10)
+    tx = torch.from_numpy(x)
+    with torch.no_grad():
+        vgg.eval()
+        out_eval = vgg(tx).numpy()  # classifier head, running-stats BN, no dropout
+        vgg.transfer_learning = True
+        out_transfer = vgg(tx).numpy()  # classifier2 head
+        vgg.transfer_learning = False
+        # batch-stats BN with dropout still off
+        for m in vgg.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.train()
+        out_bn_batch = vgg(tx).numpy()
+
+    logits = rng.standard_normal((4, num_classes)).astype(np.float32)
+    onehot = np.eye(num_classes, dtype=np.float32)[rng.integers(0, num_classes, 4)]
+    loss = vgg.loss(torch.from_numpy(logits), torch.from_numpy(onehot))
+
+    keys, shapes = pack_manifest(sd)
+    np.savez(
+        OUT / "vgg_forward.npz",
+        x=x, out_eval=out_eval, out_transfer=out_transfer, out_bn_batch=out_bn_batch,
+        loss_logits=logits, loss_onehot=onehot, loss=np.float32(loss.item()),
+        manifest_keys=keys, manifest_shapes=shapes,
+    )
+    print("vgg forward:", out_eval.shape, "loss(sign-bugged):", loss.item())
+
+
+def golden_nms():
+    rng = np.random.default_rng(5)
+    n, p, c = 2, 60, 25
+    outputs = np.zeros((n, p, c), np.float32)
+    # clustered boxes to force suppression chains
+    centers = rng.uniform(0.15, 0.85, (n, 8, 2))
+    pick = rng.integers(0, 8, (n, p))
+    outputs[..., :2] = np.take_along_axis(centers, pick[..., None], axis=1)[..., :2] + rng.normal(0, 0.02, (n, p, 2))
+    outputs[..., 2:4] = rng.uniform(0.08, 0.3, (n, p, 2))
+    logits = rng.standard_normal((n, p, 21)).astype(np.float32) * 2
+    scores = ref_utils.calc_score(torch.from_numpy(np.concatenate([outputs[..., :4], logits], -1))).numpy()
+    outputs[..., 4:] = scores
+
+    nms_in = outputs.copy()
+    nms_out = ref_utils.non_maximum_suppression(torch.from_numpy(outputs.copy())).numpy()
+    np.savez(OUT / "nms.npz", nms_in=nms_in, nms_out=nms_out)
+    kept = (nms_out[..., 5:].max(-1) > 0).sum(-1)
+    print("nms kept per image:", kept)
+
+
+def golden_eval():
+    rng = np.random.default_rng(17)
+    n, p, c = 2, 40, 25
+    num_classes = 20
+    # post-NMS-style outputs: decoded boxes + sparse one-class scores
+    outputs = np.zeros((n, p, c), np.float32)
+    outputs[..., :2] = rng.uniform(0.1, 0.9, (n, p, 2))
+    outputs[..., 2:4] = rng.uniform(0.05, 0.35, (n, p, 2))
+    cls = rng.integers(0, 21, (n, p))
+    conf = rng.uniform(0.05, 1.0, (n, p)).astype(np.float32)
+    keep = rng.uniform(0, 1, (n, p)) < 0.5  # NMS-suppressed half
+    for i in range(n):
+        for j in range(p):
+            if keep[i, j] and cls[i, j] > 0:
+                outputs[i, j, 4 + cls[i, j]] = conf[i, j]
+    gts = make_targets(rng, n, [4, 6], 6)
+    # plant near-exact detections on most GT boxes (some duplicated) so the
+    # first-claim TP-assignment and AP paths see real TPs, FPs, and duplicates
+    slot = 0
+    for i in range(n):
+        for g in range(gts.shape[1]):
+            if gts[i, g, 2] * gts[i, g, 3] == 0 or (g + i) % 3 == 0:
+                continue  # leave some GTs undetected for partial recall
+            for dup in range(1 + (g % 2)):
+                outputs[i, slot % p, :4] = gts[i, g, :4] * (1 + rng.normal(0, 0.01, 4))
+                outputs[i, slot % p, 4:] = 0
+                outputs[i, slot % p, 4 + np.argmax(gts[i, g, 4:])] = rng.uniform(0.3, 1.0)
+                slot += 3
+
+    t_out, t_gts = torch.from_numpy(outputs), torch.from_numpy(gts)
+    ious = ref_utils.calc_iou(t_out, t_gts)
+
+    # Reproduce the reference's per-image/per-class TP-assignment accumulation
+    # (reference: src/evaluate.py:114-159) to golden the full metric pipeline.
+    result_correct = {}
+    result_count = {cc: 0 for cc in range(num_classes)}
+    i = 0
+    for output, gt, iou in zip(t_out, t_gts, ious):
+        result_correct[i] = {}
+        for cc in range(num_classes):
+            pr_order, gt_order = ref_eval.get_order(output, cc), ref_eval.get_order(gt, cc)
+            if len(pr_order) == len(gt_order) == 0:
+                continue
+            elif len(pr_order) == 0:
+                result_count[cc] += len(gt_order)
+                continue
+            elif len(gt_order) == 0:
+                correct = torch.zeros(len(pr_order), 1)
+            else:
+                iou_cls = iou[pr_order][:, gt_order]
+                valid = torch.eye(len(gt_order))[iou_cls.max(dim=1).indices] * (iou_cls > 0.5)
+                correct = ((valid.cumsum(dim=0) == valid) * valid).sum(dim=1, keepdims=True)
+            result_correct[i][cc] = torch.cat([correct, output[pr_order][:, [5 + cc]]], dim=1)
+            result_count[cc] += len(gt_order)
+        i += 1
+
+    aps = np.full(num_classes, np.nan, np.float32)
+    for cc in range(num_classes):
+        rows = [r[cc] for _, r in result_correct.items() if cc in r]
+        if not rows:
+            continue
+        result = torch.cat(rows)
+        aps[cc] = ref_eval.calc_average_precision(result=result, count=result_count[cc]).item()
+    counts = np.array([result_count[cc] for cc in range(num_classes)], np.int64)
+
+    # standalone calc_average_precision golden on a hand-built ranking
+    ap_rows = np.array([[1, 0.1], [0, 0.9], [1, 0.8], [0, 0.2], [1, 0.5]], np.float32)
+    ap_val = ref_eval.calc_average_precision(torch.from_numpy(ap_rows), count=4).item()
+
+    np.savez(
+        OUT / "eval.npz",
+        outputs=outputs, gts=gts, ious=ious.numpy(), aps=aps, counts=counts,
+        ap_rows=ap_rows, ap_count=np.int64(4), ap_val=np.float32(ap_val),
+    )
+    print("eval aps:", np.nanmean(aps), "standalone ap:", ap_val)
+
+
+def main():
+    torch.manual_seed(0)
+    ssd = SSD(num_classes=21)
+    ssd.eval()
+    golden_anchors(ssd)
+    golden_boxmath(ssd)
+    with torch.no_grad():
+        golden_loss(ssd)
+    golden_forward(ssd)
+    golden_vgg()
+    golden_nms()
+    golden_eval()
+    print("all goldens written to", OUT)
+
+
+if __name__ == "__main__":
+    main()
