@@ -1,0 +1,182 @@
+"""Training entry point (reference: src/train.py:14-158).
+
+Mirrors the reference CLI flags and artifacts (TensorBoard scalars loss/train,
+loss/validation, lr; weights saved when train loss improves; params.json
+resume), rebuilt TPU-first:
+
+- ONE jitted, buffer-donated train step per batch (forward + MultiBox loss +
+  backward + Adam update) instead of eager per-op dispatch;
+- data-parallel over all local devices via mesh sharding (SURVEY.md §2.3);
+- augmentation runs on device (data/augment.py), fed uint8 batches;
+- val uses the TRAIN augmentations by default for loss parity (quirk Q3,
+  reference: train.py:53) — disable with --val_aug none.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detection_torch2_tpu.cli import common
+from object_detection_torch2_tpu.core.anchors import default_boxes
+from object_detection_torch2_tpu.data.augment import augment_batch, to_tensor_batch
+from object_detection_torch2_tpu.data.loader import DataLoader
+from object_detection_torch2_tpu.data.records import RecordDataset
+from object_detection_torch2_tpu.data.voc import PascalVOCDataset, Purpose
+from object_detection_torch2_tpu.models.vgg16 import VGG16
+from object_detection_torch2_tpu.parallel import make_mesh
+from object_detection_torch2_tpu.train import Trainer, adam_torch, exponential_epoch_schedule
+from object_detection_torch2_tpu.train import checkpoint as ckpt
+from object_detection_torch2_tpu.utils.tb import SummaryWriter
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--purpose", type=str, default="detection")
+    parser.add_argument("--epochs", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--weight_decay", type=float, default=0.0005)
+    parser.add_argument("--gamma", type=float, default=0.95)
+    parser.add_argument("--params", type=str, default="params.json")
+    common.add_common_args(parser, batch_size_default=4)
+    parser.add_argument("--val_records_dir", type=str, default=None)
+    parser.add_argument("--val_aug", choices=["train", "none"], default="train",
+                        help="parity default 'train' (quirk Q3: reference gives val the train augs)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log_dir", type=str, default="./logs")
+    parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
+    parser.add_argument("--steps_per_epoch", type=int, default=None, help="cap steps (debug/bench)")
+    return parser.parse_args(argv)
+
+
+def _build_datasets(args):
+    if args.records_dir:
+        ds_train = RecordDataset(args.records_dir)
+        ds_val = RecordDataset(args.val_records_dir) if args.val_records_dir else None
+    else:
+        train_dirs = args.data_dirs or common.DEFAULT_TRAIN_DIRS
+        val_dirs = (args.data_dirs or common.DEFAULT_TEST_DIRS)[:1]
+        ds_train = PascalVOCDataset(args.purpose, train_dirs, "trainval.txt", args.imsize)
+        ds_val = PascalVOCDataset(args.purpose, val_dirs, "test.txt", args.imsize)
+    return ds_train, ds_val
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    weights_path = Path(args.result_dir) / args.purpose / args.weights
+    params_path = Path(args.result_dir) / args.purpose / args.params
+
+    mesh = make_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev:
+        raise ValueError(f"batch_size {args.batch_size} must divide over {n_dev} devices")
+
+    ds_train, ds_val = _build_datasets(args)
+    dl_train = DataLoader(ds_train, args.batch_size, shuffle=True, seed=args.seed, max_gt=args.max_gt, mesh=mesh)
+    dl_val = DataLoader(ds_val, args.batch_size, max_gt=args.max_gt, mesh=mesh) if ds_val else None
+
+    detection = args.purpose == Purpose.DETECTION.value
+    if detection:
+        model, variables, labelmap = common.build_ssd(args, weights_path)
+        trainer = Trainer(
+            model,
+            loss_kind="multibox",
+            default_boxes=default_boxes(),
+            mesh=mesh,
+            use_batch_stats=args.bn_mode == "batch",
+        )
+        is_trainable = type(model).is_trainable
+    else:
+        model = VGG16(num_classes=20, dtype=common.DTYPES[args.dtype])
+        variables = None
+        if weights_path.exists():
+            print("weights loaded.")
+            variables = ckpt.load_weights(weights_path)
+        trainer = Trainer(model, loss_kind="cross_entropy", mesh=mesh, use_batch_stats=args.bn_mode == "batch")
+        is_trainable = lambda path: True  # noqa: E731  (reference trains all VGG params here)
+
+    # resume surface (reference: train.py:85-95; quirk Q7: fresh optimizer state)
+    params = ckpt.load_params_json(params_path)
+    if params is not None:
+        print("Params loaded.")
+        min_loss, lr, start_epoch = params["min_loss"], params["lr"], params["last_epoch"]
+    else:
+        min_loss, lr, start_epoch = None, args.lr, 0
+
+    steps_per_epoch = args.steps_per_epoch or len(dl_train)
+    schedule = exponential_epoch_schedule(lr, args.gamma, steps_per_epoch)
+    tx = adam_torch(schedule, weight_decay=args.weight_decay)
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(
+        rng, jnp.zeros((1, args.imsize, args.imsize, 3)), tx, is_trainable=is_trainable, variables=variables
+    )
+    if args.orbax_dir:
+        restored = ckpt.restore_train_state(args.orbax_dir, state)
+        if restored is not None:
+            print("Orbax state restored (exact optimizer resume).")
+            state = restored
+
+    writer = SummaryWriter(log_dir=args.log_dir)
+    aug_rng = jax.random.PRNGKey(args.seed + 1)
+
+    def preprocess(images, gts, epoch_step, train_augs):
+        nonlocal aug_rng
+        if images.dtype == jnp.uint8 or images.dtype == np.uint8:
+            if train_augs:
+                aug_rng, key = jax.random.split(aug_rng)
+                if detection:
+                    return augment_batch(key, images, gts)
+                return augment_batch(key, images, gts[:, None, :])[0], gts  # classification: gt untouched (Q11)
+            return to_tensor_batch(images), gts
+        return images, gts
+
+    val_loss = 0.0
+    for epoch in range(1 + start_epoch, args.epochs + start_epoch + 1):
+        running_loss, t0 = 0.0, time.time()
+        n_steps = 0
+        for images, gts in dl_train:
+            images, gts = preprocess(images, gts, n_steps, True)
+            state, loss = trainer.train_step(state, images, gts)
+            running_loss += float(loss)
+            n_steps += 1
+            if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
+                break
+        running_loss /= max(n_steps, 1)
+        images_per_sec = n_steps * args.batch_size / (time.time() - t0)
+
+        if dl_val is not None:
+            val_loss, n_val = 0.0, 0
+            for images, gts in dl_val:
+                images, gts = preprocess(images, gts, n_val, args.val_aug == "train")
+                state, loss = trainer.eval_step(state, images, gts)
+                val_loss += float(loss)
+                n_val += 1
+            val_loss /= max(n_val, 1)
+
+        epoch_lr = float(schedule((epoch - start_epoch - 1) * steps_per_epoch))
+        print(
+            f"[Epoch {epoch}/{args.epochs + start_epoch}] loss: {round(running_loss, 5)}, "
+            f"val_loss: {round(val_loss, 5)}, {images_per_sec:.1f} img/s"
+        )
+        writer.add_scalar("loss/train", running_loss, epoch)
+        writer.add_scalar("loss/validation", val_loss, epoch)
+        writer.add_scalar("lr", epoch_lr, epoch)
+
+        if (min_loss is None) or (running_loss < min_loss):
+            min_loss = running_loss
+            ckpt.save_weights(weights_path, {"params": state.all_params, "batch_stats": state.batch_stats})
+            ckpt.save_params_json(params_path, running_loss, epoch_lr, epoch)
+        if args.orbax_dir:
+            ckpt.save_train_state(args.orbax_dir, state)
+
+    print("Finished Training")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,11 @@ def render_detections(image_f01: np.ndarray, locs: np.ndarray, confs: np.ndarray
         xmin, ymin, xmax, ymax = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
         left_top = (max(xmin, 0), max(ymin, 0))
         right_bottom = (min(xmax, imsize), min(ymax, imsize))
+        if right_bottom[0] <= left_top[0] or right_bottom[1] <= left_top[1]:
+            # box entirely outside the image: clipping would invert the
+            # rectangle and PIL raises (latent edge case in the reference's
+            # clipping too, src/inference.py:85-87) — nothing visible to draw
+            continue
 
         text = f" {labelmap.id2name(int(class_id) - 1)} {round(float(score), 3)}"
         text_loc = (max(xmin, 0), max(ymin, 0) - 11)

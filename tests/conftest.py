@@ -1,6 +1,15 @@
 """Test harness config: force JAX onto a virtual 8-device CPU platform BEFORE any
-jax import, so multi-chip sharding tests run without TPU hardware (the standard
-JAX idiom — SURVEY.md §4)."""
+backend initializes, so multi-chip sharding tests run without TPU hardware (the
+standard JAX idiom — SURVEY.md §4).
+
+Environment gotcha: this machine injects a TPU-tunnel PJRT plugin ("axon") into
+every Python process via PYTHONPATH sitecustomize, and its register() overrides
+jax_platforms to "axon,cpu" — the env var JAX_PLATFORMS=cpu alone is NOT enough.
+The tunnel TPU is exclusive, so a second process wedges forever waiting for the
+claim. We neutralize it in-process: drop the axon backend factory and pin
+jax_platforms=cpu before any backend is created. (A re-exec approach breaks
+pytest's fd capture, so this must stay in-process.)
+"""
 
 import os
 
@@ -9,10 +18,18 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-from pathlib import Path
+import jax  # noqa: E402
+import jax._src.xla_bridge as _xb  # noqa: E402
 
-import numpy as np
-import pytest
+if "axon" in _xb._backend_factories:
+    assert not _xb.backends_are_initialized(), "a JAX backend initialized before conftest ran"
+    _xb._backend_factories.pop("axon")
+    jax.config.update("jax_platforms", "cpu")
+
+from pathlib import Path  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 GOLDENS = Path(__file__).parent / "goldens"
 

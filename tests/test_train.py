@@ -1,0 +1,153 @@
+"""Train stack: torch-semantics Adam, LR schedule, state partition, checkpoints, trainer."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from object_detection_torch2_tpu.train import TrainState, adam_torch, exponential_epoch_schedule
+from object_detection_torch2_tpu.train import checkpoint as ckpt
+from object_detection_torch2_tpu.train.state import merge_params, partition_params
+from object_detection_torch2_tpu.train.trainer import Trainer
+
+
+def manual_adam_l2(param, grads, lr, wd, steps, b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam with L2 weight decay, straight from the docs."""
+    m = np.zeros_like(param)
+    v = np.zeros_like(param)
+    p = param.copy()
+    for t in range(1, steps + 1):
+        g = grads[t - 1] + wd * p
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        m_hat = m / (1 - b1**t)
+        v_hat = v / (1 - b2**t)
+        p = p - lr * m_hat / (np.sqrt(v_hat) + eps)
+    return p
+
+
+def test_adam_torch_semantics():
+    rng = np.random.default_rng(0)
+    param = rng.standard_normal(5).astype(np.float32)
+    grads = [rng.standard_normal(5).astype(np.float32) for _ in range(3)]
+
+    tx = adam_torch(1e-2, weight_decay=0.1)
+    p = {"w": jnp.asarray(param)}
+    state = tx.init(p)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, p)
+        p = optax.apply_updates(p, updates)
+
+    expect = manual_adam_l2(param, grads, 1e-2, 0.1, 3)
+    np.testing.assert_allclose(np.asarray(p["w"]), expect, rtol=1e-5)
+
+
+def test_exponential_epoch_schedule():
+    sched = exponential_epoch_schedule(1e-3, 0.95, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(9)) == pytest.approx(1e-3)
+    assert float(sched(10)) == pytest.approx(1e-3 * 0.95)
+    assert float(sched(25)) == pytest.approx(1e-3 * 0.95**2)
+
+
+def test_partition_and_merge():
+    params = {"conv_1_1": 1, "bn_5_3": 2, "conv_6_1": 3, "det_4_3": 4}
+    from object_detection_torch2_tpu.models.ssd import SSD
+
+    t, f = partition_params(params, SSD.is_trainable)
+    assert set(t) == {"conv_6_1", "det_4_3"}
+    assert set(f) == {"conv_1_1", "bn_5_3"}
+    assert merge_params(t, f) == params
+
+
+def test_weights_and_params_json_roundtrip(tmp_path):
+    variables = {
+        "params": {"conv": {"kernel": np.ones((3, 3, 2, 4), np.float32)}},
+        "batch_stats": {"bn": {"mean": np.zeros(4, np.float32)}},
+    }
+    path = tmp_path / "sub" / "weights.msgpack"
+    ckpt.save_weights(path, variables)
+    restored = ckpt.load_weights(path)
+    np.testing.assert_array_equal(restored["params"]["conv"]["kernel"], variables["params"]["conv"]["kernel"])
+
+    ckpt.save_params_json(tmp_path / "params.json", 1.5, 1e-3, 7)
+    p = ckpt.load_params_json(tmp_path / "params.json")
+    assert p == {"min_loss": 1.5, "lr": 1e-3, "last_epoch": 7}
+    assert ckpt.load_params_json(tmp_path / "absent.json") is None
+
+
+class TinyDet(nn.Module):
+    """Minimal detector producing (N, P, 4+C) from images, with a 'frozen' layer."""
+
+    p: int = 64
+    c: int = 21
+
+    @nn.compact
+    def __call__(self, x, train=True, use_batch_stats=None):
+        h = nn.Conv(4, (3, 3), name="conv_1_1")(x)  # frozen by SSD predicate
+        h = nn.relu(h)
+        h = h.mean(axis=(1, 2))
+        out = nn.Dense(self.p * (4 + self.c), name="det_4_3")(h)
+        return out.reshape(x.shape[0], self.p, 4 + self.c)
+
+    @staticmethod
+    def is_trainable(path):
+        from object_detection_torch2_tpu.models.ssd import SSD
+
+        return SSD.is_trainable(path)
+
+
+def _tiny_setup(mesh=None):
+    from object_detection_torch2_tpu.core.anchors import default_boxes
+
+    model = TinyDet()
+    df = jnp.asarray(default_boxes()[:64])
+    trainer = Trainer(model, loss_kind="multibox", default_boxes=df, mesh=mesh)
+    tx = adam_torch(1e-2)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), tx, is_trainable=TinyDet.is_trainable
+    )
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (8, 8, 8, 3)).astype(np.float32)
+    targets = np.zeros((8, 2, 25), np.float32)
+    targets[:, 0, :4] = [0.013, 0.013, 0.15, 0.15]  # matches near anchors, leaves far cells negative
+    targets[:, 0, 9] = 1.0
+    return trainer, state, images, targets
+
+
+def test_trainer_decreases_loss_and_freezes_trunk():
+    trainer, state, images, targets = _tiny_setup()
+    frozen_before = jax.tree.map(np.asarray, state.frozen)
+    losses = []
+    for _ in range(5):
+        state, loss = trainer.train_step(state, images, targets)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+    # frozen subtree must be bit-identical after training
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(frozen_before),
+        jax.tree_util.tree_leaves_with_path(jax.tree.map(np.asarray, state.frozen)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_orbax_roundtrip(tmp_path):
+    trainer, state, images, targets = _tiny_setup()
+    state, _ = trainer.train_step(state, images, targets)
+    ckpt.save_train_state(tmp_path / "orbax", state)
+
+    trainer2, state2, _, _ = _tiny_setup()
+    restored = ckpt.restore_train_state(tmp_path / "orbax", state2)
+    assert restored is not None
+    assert int(restored.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["det_4_3"]["kernel"]), np.asarray(state.params["det_4_3"]["kernel"])
+    )
+    # optimizer moments restored too (exact resume — improves on reference Q7)
+    flat_a = jax.tree.leaves(restored.opt_state)
+    flat_b = jax.tree.leaves(state.opt_state)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -169,10 +169,11 @@ def golden_forward(ssd):
     x = rng.uniform(0, 1, (2, 3, 300, 300)).astype(np.float32)
     tx = torch.from_numpy(x)
     with torch.no_grad():
-        ssd.train()
-        out_train = ssd(tx).numpy()
+        # eval FIRST: train-mode BN mutates running stats, which eval then reads
         ssd.eval()
         out_eval = ssd(tx).numpy()
+        ssd.train()
+        out_train = ssd(tx).numpy()
     keys, shapes = pack_manifest(sd)
     np.savez(
         OUT / "ssd_forward.npz",
