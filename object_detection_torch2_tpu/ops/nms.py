@@ -7,10 +7,18 @@ result is a 0/1 keep mask applied multiplicatively to ALL score columns
 (including void, utils.py:114).
 
 The reference is a per-image Python while-loop (O(P^2), a major hot loop —
-SURVEY.md §2.2). Here the whole batch runs as ONE fixed-trip `lax.fori_loop`
-inside jit: step i suppresses every later candidate that overlaps candidate i,
-vectorized over the batch. IoU rows are computed on the fly, so peak memory is
-O(N*P) — no (N, P, P) matrix is ever materialized.
+SURVEY.md §2.2). Two exact batched formulations exist here:
+
+- `nms_keep_mask` (default): BLOCKED greedy — score-sorted candidates processed
+  in 128-wide blocks; within a block, suppression is solved by an exact
+  fixpoint iteration (the triangular dependency guarantees convergence in at
+  most the block's suppression-chain depth, and the while_loop exits as soon as
+  the mask is stable); across blocks, every kept pivot suppresses all later
+  candidates with one MXU-shaped (block x P) contraction. ~P/128 sequential
+  steps instead of P, and HBM traffic drops from O(P) full re-reads of the box
+  table (the naive loop's ~39 GB at bs32) to O(P/128) (~0.3 GB).
+- `nms_keep_mask_serial`: the literal one-candidate-per-step loop, kept as the
+  semantics reference for equivalence tests.
 """
 
 from __future__ import annotations
@@ -22,13 +30,11 @@ import jax.numpy as jnp
 
 from object_detection_torch2_tpu.core import boxes as B
 
+BLOCK = 128
 
-def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
-    """Greedy keep mask.
 
-    boxes: (N, P, 4) center-form, sort_scores: (N, P) (entries <= 0 never kept)
-    -> bool (N, P) in the ORIGINAL anchor order.
-    """
+def nms_keep_mask_serial(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
+    """Literal greedy loop (one candidate per step). Semantics reference."""
     n, p, _ = boxes.shape
     order = jnp.argsort(-sort_scores, axis=-1)  # descending, stable
     sorted_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
@@ -45,6 +51,76 @@ def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 
 
     keep_sorted = jax.lax.fori_loop(0, p, body, sorted_valid)
     return jnp.put_along_axis(jnp.zeros_like(keep_sorted), order, keep_sorted, axis=-1, inplace=False)
+
+
+def _block_self_suppress(alive: jax.Array, iou_tile: jax.Array, iou_thresh: float) -> jax.Array:
+    """Exact greedy keep mask within one score-sorted block.
+
+    alive: (N, B) candidates not suppressed by earlier blocks; iou_tile: (N, B, B).
+    Iterates k <- alive & ~(any earlier kept j with iou(j, i) > t) to its unique
+    fixpoint — the triangular (j < i) dependency pins prefix entries after each
+    pass, so the loop provably terminates in <= chain-depth passes.
+    """
+    b = iou_tile.shape[-1]
+    jj = jnp.arange(b)[:, None]
+    ii = jnp.arange(b)[None, :]
+    over = (iou_tile > iou_thresh) & (jj < ii)[None]  # over[n, j, i]: j suppresses i
+    over_f = over.astype(jnp.float32)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        k, _ = state
+        killed = jnp.einsum("nji,nj->ni", over_f, k.astype(jnp.float32)) > 0.0
+        k_new = alive & ~killed
+        return k_new, jnp.any(k_new != k)
+
+    k, _ = jax.lax.while_loop(cond, body, (alive, jnp.bool_(True)))
+    return k
+
+
+def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
+    """Blocked exact greedy keep mask.
+
+    boxes: (N, P, 4) center-form, sort_scores: (N, P) (entries <= 0 never kept)
+    -> bool (N, P) in the ORIGINAL anchor order.
+    """
+    n, p, _ = boxes.shape
+    order = jnp.argsort(-sort_scores, axis=-1)
+    sorted_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    sorted_valid = jnp.take_along_axis(sort_scores, order, axis=1) > 0.0
+
+    num_blocks = -(-p // BLOCK)
+    pb = num_blocks * BLOCK
+    pad = pb - p
+    if pad:
+        sorted_boxes = jnp.pad(sorted_boxes, ((0, 0), (0, pad), (0, 0)))
+        sorted_valid = jnp.pad(sorted_valid, ((0, 0), (0, pad)))
+
+    col = jnp.arange(pb)[None, :]
+
+    def outer(blk_idx, keep):
+        start = blk_idx * BLOCK
+        blk = jax.lax.dynamic_slice(sorted_boxes, (0, start, 0), (n, BLOCK, 4))
+        alive = jax.lax.dynamic_slice(keep, (0, start), (n, BLOCK))
+
+        iou_tile = B.pairwise_iou(blk, blk)  # (N, B, B)
+        kept_blk = _block_self_suppress(alive, iou_tile, iou_thresh)
+        keep = jax.lax.dynamic_update_slice(keep, kept_blk, (0, start))
+
+        # every kept pivot suppresses all strictly-later candidates at once
+        iou_cross = B.pairwise_iou(blk, sorted_boxes)  # (N, B, Pb)
+        hit = (iou_cross > iou_thresh).astype(jnp.float32)
+        killed = jnp.einsum("nip,ni->np", hit, kept_blk.astype(jnp.float32)) > 0.0
+        return keep & ~(killed & (col > start + BLOCK - 1))
+
+    keep_sorted = jax.lax.fori_loop(0, num_blocks, outer, sorted_valid)
+    keep_sorted = keep_sorted[:, :p]
+    return jnp.put_along_axis(
+        jnp.zeros((n, p), jnp.bool_), order, keep_sorted, axis=-1, inplace=False
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh",))

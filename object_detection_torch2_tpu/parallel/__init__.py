@@ -1,6 +1,7 @@
 from object_detection_torch2_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    replicate,
     replicated_sharding,
     shard_batch,
 )
