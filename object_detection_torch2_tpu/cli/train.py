@@ -15,7 +15,6 @@ resume), rebuilt TPU-first:
 from __future__ import annotations
 
 import argparse
-import time
 from pathlib import Path
 
 import jax
@@ -51,6 +50,9 @@ def parse_args(argv=None):
     parser.add_argument("--log_dir", type=str, default="./logs")
     parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
     parser.add_argument("--steps_per_epoch", type=int, default=None, help="cap steps (debug/bench)")
+    parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace for epoch 1")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="raise on NaN/Inf in jitted outputs (torch detect_anomaly equivalent; slow)")
     return parser.parse_args(argv)
 
 
@@ -68,6 +70,10 @@ def _build_datasets(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.debug_nans:
+        from object_detection_torch2_tpu.utils.profiling import enable_debug_nans
+
+        enable_debug_nans()
     weights_path = Path(args.result_dir) / args.purpose / args.weights
     params_path = Path(args.result_dir) / args.purpose / args.params
 
@@ -135,28 +141,36 @@ def main(argv=None):
             return to_tensor_batch(images), gts
         return images, gts
 
+    from object_detection_torch2_tpu.utils.profiling import ThroughputMeter, maybe_trace
+
     val_loss = 0.0
+    meter = ThroughputMeter(args.batch_size, n_dev)
     for epoch in range(1 + start_epoch, args.epochs + start_epoch + 1):
-        running_loss, t0 = 0.0, time.time()
-        n_steps = 0
-        for images, gts in dl_train:
-            images, gts = preprocess(images, gts, n_steps, True)
-            state, loss = trainer.train_step(state, images, gts)
-            running_loss += float(loss)
-            n_steps += 1
-            if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
-                break
-        running_loss /= max(n_steps, 1)
-        images_per_sec = n_steps * args.batch_size / (time.time() - t0)
+        # device-resident loss accumulation: the reference's per-step
+        # `loss.item()` forces a device sync every step (SURVEY.md §3.1);
+        # here losses stay on device and sync ONCE per epoch.
+        losses = []
+        meter.reset()
+        with maybe_trace(args.profile_dir if epoch == 1 + start_epoch else None):
+            for images, gts in dl_train:
+                images, gts = preprocess(images, gts, meter.steps, True)
+                state, loss = trainer.train_step(state, images, gts)
+                losses.append(loss)
+                meter.step()
+                if args.steps_per_epoch and meter.steps >= args.steps_per_epoch:
+                    break
+        n_steps = meter.steps
+        running_loss = float(jnp.stack(losses).mean()) if losses else 0.0
+        images_per_sec = meter.images_per_sec()
 
         if dl_val is not None:
-            val_loss, n_val = 0.0, 0
+            val_losses, n_val = [], 0
             for images, gts in dl_val:
                 images, gts = preprocess(images, gts, n_val, args.val_aug == "train")
                 state, loss = trainer.eval_step(state, images, gts)
-                val_loss += float(loss)
+                val_losses.append(loss)
                 n_val += 1
-            val_loss /= max(n_val, 1)
+            val_loss = float(jnp.stack(val_losses).mean()) if val_losses else 0.0
 
         epoch_lr = float(schedule((epoch - start_epoch - 1) * steps_per_epoch))
         print(

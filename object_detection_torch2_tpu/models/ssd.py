@@ -27,6 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from object_detection_torch2_tpu.models.bn import BatchNormTPU
+
 # ImageNet normalization (reference: src/model/vgg16.py:19-20)
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -106,16 +108,14 @@ class SSD(nn.Module):
             kernel_init=kaiming_out,
             name=f"conv_{name_suffix}",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNormTPU(
             use_running_average=not use_batch_stats,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            use_fast_variance=False,
+            dtype=self.dtype,
             name=f"bn_{name_suffix}",
-        )(x.astype(jnp.float32))
-        return nn.relu(x).astype(self.dtype)
+        )(x)
+        return nn.relu(x)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True, use_batch_stats: bool | None = None):

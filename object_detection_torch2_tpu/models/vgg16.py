@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from object_detection_torch2_tpu.models.bn import BatchNormTPU
 from object_detection_torch2_tpu.models.ssd import max_pool_torch, normalize_image
 
 VGG_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M_P", 512, 512, 512, "M", 512, 512, 512, "M_P")
@@ -96,16 +97,14 @@ class VGG16(nn.Module):
                     precision=self.precision,
                     name=name,
                 )(x)
-                x = nn.BatchNorm(
+                x = BatchNormTPU(
                     use_running_average=not use_batch_stats,
                     momentum=0.9,
                     epsilon=1e-5,
-                    dtype=jnp.float32,
-                    param_dtype=jnp.float32,
-                    use_fast_variance=False,
+                    dtype=self.dtype,
                     name=f"bn{name[4:]}",
-                )(x.astype(jnp.float32))
-                x = nn.relu(x).astype(self.dtype)
+                )(x)
+                x = nn.relu(x)
 
         # torch flattens NCHW C-major (reference: vgg16.py:96); transpose so the
         # converted Linear weights line up element-for-element.

@@ -1,0 +1,65 @@
+"""BatchNormTPU: torch-semantics stats, flax-compatible layout, bf16 path."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detection_torch2_tpu.models.bn import BatchNormTPU
+
+
+def _data(n=4, h=6, w=6, c=8, seed=0):
+    return np.random.default_rng(seed).normal(1.5, 2.0, (n, h, w, c)).astype(np.float32)
+
+
+def test_train_mode_matches_flax_batchnorm():
+    x = _data()
+    ours = BatchNormTPU(use_running_average=False)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5, use_fast_variance=False)
+    vo = ours.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    yo, mo = ours.apply(vo, jnp.asarray(x), mutable=["batch_stats"])
+    yr, mr = ref.apply(vr, jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yo), np.asarray(yr), atol=2e-5)
+    # running mean identical; running var intentionally differs (torch's
+    # unbiased correction — covered by the dedicated test below)
+    np.testing.assert_allclose(
+        np.asarray(mo["batch_stats"]["mean"]), np.asarray(mr["batch_stats"]["mean"]), atol=1e-6
+    )
+
+
+def test_running_var_uses_torch_unbiased_correction():
+    x = _data()
+    n = x.size / x.shape[-1]
+    model = BatchNormTPU(use_running_average=False)
+    v = model.init(jax.random.PRNGKey(0), x)
+    _, m = model.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    batch_var = np.asarray(x).reshape(-1, x.shape[-1]).var(axis=0)
+    expect = 0.9 * 1.0 + 0.1 * batch_var * n / (n - 1)
+    np.testing.assert_allclose(np.asarray(m["batch_stats"]["var"]), expect, rtol=1e-5)
+
+
+def test_eval_mode_uses_running_stats():
+    x = _data()
+    model = BatchNormTPU(use_running_average=True)
+    v = model.init(jax.random.PRNGKey(0), x)
+    v = {
+        "params": v["params"],
+        "batch_stats": {"mean": jnp.full((8,), 2.0), "var": jnp.full((8,), 4.0)},
+    }
+    y = model.apply(v, jnp.asarray(x))
+    expect = (x - 2.0) / np.sqrt(4.0 + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expect, atol=1e-5)
+
+
+def test_bf16_path_dtype_and_accuracy():
+    x = _data().astype(jnp.bfloat16)
+    model = BatchNormTPU(use_running_average=False, dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), x)
+    y, m = model.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    assert y.dtype == jnp.bfloat16
+    # stats computed in f32 despite bf16 input
+    assert m["batch_stats"]["mean"].dtype == jnp.float32
+    xf = np.asarray(x, np.float32).reshape(-1, 8)
+    # updated running mean = 0.9*0 + 0.1*batch_mean
+    np.testing.assert_allclose(np.asarray(m["batch_stats"]["mean"]), 0.1 * xf.mean(0), atol=5e-3)
