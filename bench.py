@@ -32,7 +32,6 @@ def main():
     import numpy as np
 
     from object_detection_torch2_tpu.core.anchors import default_boxes
-    from object_detection_torch2_tpu.data.augment import augment_batch
     from object_detection_torch2_tpu.models.ssd import SSD
     from object_detection_torch2_tpu.parallel import make_mesh, shard_batch
     from object_detection_torch2_tpu.train import Trainer, adam_torch, exponential_epoch_schedule
@@ -47,7 +46,9 @@ def main():
 
     mesh = make_mesh()
     model = SSD(num_classes=21, dtype=dtype)
-    trainer = Trainer(model, loss_kind="multibox", default_boxes=default_boxes(), mesh=mesh)
+    # augment=True fuses jitter/flip/erase into the train-step program: ONE host
+    # dispatch per step (dispatch latency dominates through remote runtimes)
+    trainer = Trainer(model, loss_kind="multibox", default_boxes=default_boxes(), mesh=mesh, augment=True)
     tx = adam_torch(exponential_epoch_schedule(1e-3, 0.95, 518), weight_decay=5e-4)
     state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), tx)
 
@@ -62,23 +63,15 @@ def main():
         targets[i, np.arange(g), 4 + rng.integers(1, 21, g)] = 1.0
     images_u8, targets = shard_batch(mesh, (jnp.asarray(images_u8), jnp.asarray(targets)))
 
-    aug_key = jax.random.PRNGKey(1)
-
-    def step(state, key):
-        imgs, tgts = augment_batch(key, images_u8, targets)
-        return trainer.train_step(state, imgs, tgts)
-
     t0 = time.time()
     for i in range(warmup):
-        aug_key, k = jax.random.split(aug_key)
-        state, loss = step(state, k)
+        state, loss = trainer.train_step(state, images_u8, targets)
     loss.block_until_ready()
     log(f"compile+warmup {time.time()-t0:.1f}s, loss={float(loss):.4f}")
 
     t0 = time.time()
     for i in range(iters):
-        aug_key, k = jax.random.split(aug_key)
-        state, loss = step(state, k)
+        state, loss = trainer.train_step(state, images_u8, targets)
     loss.block_until_ready()
     dt = time.time() - t0
     images_per_sec = batch_size * iters / dt

@@ -19,11 +19,8 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from object_detection_torch2_tpu.cli import common
 from object_detection_torch2_tpu.core.anchors import default_boxes
-from object_detection_torch2_tpu.data.augment import augment_batch, to_tensor_batch
 from object_detection_torch2_tpu.data.loader import DataLoader
 from object_detection_torch2_tpu.data.records import RecordDataset
 from object_detection_torch2_tpu.data.voc import PascalVOCDataset, Purpose
@@ -95,6 +92,8 @@ def main(argv=None):
             default_boxes=default_boxes(),
             mesh=mesh,
             use_batch_stats=args.bn_mode == "batch",
+            augment=True,  # jitter/flip/erase fused into the step program
+            seed=args.seed,
         )
         is_trainable = type(model).is_trainable
     else:
@@ -103,7 +102,14 @@ def main(argv=None):
         if weights_path.exists():
             print("weights loaded.")
             variables = ckpt.load_weights(weights_path)
-        trainer = Trainer(model, loss_kind="cross_entropy", mesh=mesh, use_batch_stats=args.bn_mode == "batch")
+        trainer = Trainer(
+            model,
+            loss_kind="cross_entropy",
+            mesh=mesh,
+            use_batch_stats=args.bn_mode == "batch",
+            augment=True,
+            seed=args.seed,
+        )
         is_trainable = lambda path: True  # noqa: E731  (reference trains all VGG params here)
 
     # resume surface (reference: train.py:85-95; quirk Q7: fresh optimizer state)
@@ -128,18 +134,7 @@ def main(argv=None):
             state = restored
 
     writer = SummaryWriter(log_dir=args.log_dir)
-    aug_rng = jax.random.PRNGKey(args.seed + 1)
-
-    def preprocess(images, gts, epoch_step, train_augs):
-        nonlocal aug_rng
-        if images.dtype == jnp.uint8 or images.dtype == np.uint8:
-            if train_augs:
-                aug_rng, key = jax.random.split(aug_rng)
-                if detection:
-                    return augment_batch(key, images, gts)
-                return augment_batch(key, images, gts[:, None, :])[0], gts  # classification: gt untouched (Q11)
-            return to_tensor_batch(images), gts
-        return images, gts
+    val_rng = jax.random.PRNGKey(args.seed + 1)
 
     from object_detection_torch2_tpu.utils.profiling import ThroughputMeter, maybe_trace
 
@@ -148,12 +143,12 @@ def main(argv=None):
     for epoch in range(1 + start_epoch, args.epochs + start_epoch + 1):
         # device-resident loss accumulation: the reference's per-step
         # `loss.item()` forces a device sync every step (SURVEY.md §3.1);
-        # here losses stay on device and sync ONCE per epoch.
+        # here losses stay on device and sync ONCE per epoch. Augmentation and
+        # uint8->float scaling run INSIDE the jitted step (one dispatch/step).
         losses = []
         meter.reset()
         with maybe_trace(args.profile_dir if epoch == 1 + start_epoch else None):
             for images, gts in dl_train:
-                images, gts = preprocess(images, gts, meter.steps, True)
                 state, loss = trainer.train_step(state, images, gts)
                 losses.append(loss)
                 meter.step()
@@ -166,8 +161,11 @@ def main(argv=None):
         if dl_val is not None:
             val_losses, n_val = [], 0
             for images, gts in dl_val:
-                images, gts = preprocess(images, gts, n_val, args.val_aug == "train")
-                state, loss = trainer.eval_step(state, images, gts)
+                val_rng, key = jax.random.split(val_rng)
+                # Q3 parity: the reference gives the val set the TRAIN augs
+                state, loss = trainer.eval_step(
+                    state, images, gts, rng=key, augment=args.val_aug == "train"
+                )
                 val_losses.append(loss)
                 n_val += 1
             val_loss = float(jnp.stack(val_losses).mean()) if val_losses else 0.0

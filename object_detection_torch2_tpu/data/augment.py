@@ -6,27 +6,35 @@ host is the bottleneck, so this module runs the SAME augmentation distributions
 as one fused XLA program over the whole uint8 batch on device:
 
 - RandomColorJitter(p=0.5, brightness/contrast/saturation/hue=0.5) — factor
-  distributions and the random op order follow torchvision.ColorJitter
-  (reference: src/augmentation/random.py:6-14);
+  distributions follow torchvision.ColorJitter (reference:
+  src/augmentation/random.py:6-14); factors and the jitter/flip/erase coin
+  flips are PER-SAMPLE;
 - RandomFlip(p=0.5) — hflip + gt cx reflection `gt[:,0] = 1 - cx`
   (reference: src/augmentation/random.py:17-30);
 - ToTensor scaling to [0,1] (reference: src/augmentation/to_tensor.py);
 - RandomErasing(p=0.5, scale=(0.01, 0.04), ratio=(0.5, 2), max_iter=3) applied
   1..max_iter times, gt untouched (reference: src/augmentation/random.py:33-42).
 
-Divergence (documented): the reference jitters in PIL uint8 space; this runs the
-same factor distributions in float space. Both are random policies — sample-level
-bit parity is neither possible (different RNGs) nor required (SURVEY.md §7.4).
+Everything is batched — no vmap, no per-sample control flow. The color-jitter
+op ORDER is one fresh random permutation per BATCH (torchvision samples it per
+sample; a vmapped switch would execute all four branches for every image, 4x
+the arithmetic — sharing the order across the batch keeps the order uniformly
+random over steps at 1/4 the cost). Divergences from the reference's PIL-uint8
+pipeline (float math, shared per-batch order) are distribution-level only;
+sample-level bit parity is neither possible (different RNGs) nor required.
 """
 
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
 
 GRAY_WEIGHTS = (0.2989, 0.587, 0.114)  # torchvision rgb_to_grayscale
+
+_PERMS = tuple(itertools.permutations(range(4)))  # 24 jitter-op orders
 
 
 def rgb_to_hsv(rgb: jax.Array) -> jax.Array:
@@ -40,9 +48,7 @@ def rgb_to_hsv(rgb: jax.Array) -> jax.Array:
     rc = (maxc - r) / safe_d
     gc = (maxc - g) / safe_d
     bc = (maxc - b) / safe_d
-    h = jnp.where(
-        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
-    )
+    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
     h = jnp.where(d > 0, (h / 6.0) % 1.0, 0.0)
     return jnp.stack([h, s, v], axis=-1)
 
@@ -55,127 +61,131 @@ def hsv_to_rgb(hsv: jax.Array) -> jax.Array:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    sel = [i == k for k in range(6)]
+    r = jnp.select(sel, [v, q, p, p, t, v])
+    g = jnp.select(sel, [t, v, v, q, p, p])
+    b = jnp.select(sel, [p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
 def _grayscale(img):
-    w = jnp.asarray(GRAY_WEIGHTS, img.dtype)
-    return jnp.tensordot(img, w, axes=([-1], [0]))
+    return jnp.tensordot(img, jnp.asarray(GRAY_WEIGHTS, img.dtype), axes=([-1], [0]))
 
 
+# Batched jitter ops; factor f: (N,) broadcast over (N, H, W, C)
 def adjust_brightness(img, f):
-    return jnp.clip(img * f, 0.0, 1.0)
+    return jnp.clip(img * f[:, None, None, None], 0.0, 1.0)
 
 
 def adjust_contrast(img, f):
-    mean = _grayscale(img).mean()
-    return jnp.clip(f * img + (1.0 - f) * mean, 0.0, 1.0)
+    mean = _grayscale(img).mean(axis=(1, 2))  # per-image scalar
+    return jnp.clip(f[:, None, None, None] * img + ((1.0 - f) * mean)[:, None, None, None], 0.0, 1.0)
 
 
 def adjust_saturation(img, f):
     gray = _grayscale(img)[..., None]
+    f = f[:, None, None, None]
     return jnp.clip(f * img + (1.0 - f) * gray, 0.0, 1.0)
 
 
 def adjust_hue(img, delta):
     hsv = rgb_to_hsv(img)
-    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta[:, None, None]) % 1.0)
     return hsv_to_rgb(hsv)
 
 
-def _color_jitter_one(rng, img, strength=0.5):
-    """torchvision ColorJitter: uniform factors, ops applied in random order."""
+def _color_jitter_batch(rng, img, do, strength=0.5):
+    """do: (N,) bool per-sample jitter coin. One random op order per batch."""
+    n = img.shape[0]
     k_order, k_b, k_c, k_s, k_h = jax.random.split(rng, 5)
-    fb = jax.random.uniform(k_b, (), minval=1 - strength, maxval=1 + strength)
-    fc = jax.random.uniform(k_c, (), minval=1 - strength, maxval=1 + strength)
-    fs = jax.random.uniform(k_s, (), minval=1 - strength, maxval=1 + strength)
-    dh = jax.random.uniform(k_h, (), minval=-strength, maxval=strength)
-    order = jax.random.permutation(k_order, 4)
+    fb = jax.random.uniform(k_b, (n,), minval=1 - strength, maxval=1 + strength)
+    fc = jax.random.uniform(k_c, (n,), minval=1 - strength, maxval=1 + strength)
+    fs = jax.random.uniform(k_s, (n,), minval=1 - strength, maxval=1 + strength)
+    dh = jax.random.uniform(k_h, (n,), minval=-strength, maxval=strength)
+    ops = (
+        lambda x: adjust_brightness(x, fb),
+        lambda x: adjust_contrast(x, fc),
+        lambda x: adjust_saturation(x, fs),
+        lambda x: adjust_hue(x, dh),
+    )
 
-    def apply_op(img, op):
-        return jax.lax.switch(
-            op,
-            [
-                lambda x: adjust_brightness(x, fb),
-                lambda x: adjust_contrast(x, fc),
-                lambda x: adjust_saturation(x, fs),
-                lambda x: adjust_hue(x, dh),
-            ],
-            img,
-        )
+    def branch(perm):
+        def run(x):
+            for op_idx in perm:
+                x = ops[op_idx](x)
+            return x
 
-    def body(i, x):
-        return apply_op(x, order[i])
+        return run
 
-    return jax.lax.fori_loop(0, 4, body, img)
+    perm_idx = jax.random.randint(k_order, (), 0, len(_PERMS))
+    jittered = jax.lax.switch(perm_idx, [branch(p) for p in _PERMS], img)
+    return jnp.where(do[:, None, None, None], jittered, img)
 
 
-def _erase_one(rng, img, scale=(0.01, 0.04), ratio=(0.5, 2.0), p=0.5, max_iter=3):
-    """RandomErasing applied 1..max_iter times with per-application prob p, value 0."""
-    h, w = img.shape[0], img.shape[1]
+def _erase_batch(rng, img, p, max_iter):
+    """Batched RandomErasing: per-sample rect masks, 1..max_iter applications.
+
+    TPU layout note: masks broadcast against (N, H, W, 3) put the 3-wide channel
+    axis in the 128-lane dimension (3/128 utilization — measured 8.6 ms for a
+    single masked where at bs32). Working on the flattened (N, H, W*3) view with
+    the column mask repeated 3x keeps lanes wide (~0.2 ms).
+    """
+    n, h, w, c = img.shape
     k_iter, k_rest = jax.random.split(rng)
-    n_iter = jax.random.randint(k_iter, (), 1, max_iter + 1)
+    n_iter = jax.random.randint(k_iter, (n,), 1, max_iter + 1)
+    rows = jnp.arange(h)[None, :]  # (1, H)
+    cols = jnp.arange(w)[None, :]  # (1, W)
 
-    rows = jnp.arange(h)[:, None]
-    cols = jnp.arange(w)[None, :]
+    flat = img.reshape(n, h, w * c)
 
-    def body(i, img):
+    def body(i, flat):
         k = jax.random.fold_in(k_rest, i)
         k_p, k_a, k_r, k_t, k_l = jax.random.split(k, 5)
-        do = (jax.random.uniform(k_p, ()) < p) & (i < n_iter)
-        area = jax.random.uniform(k_a, (), minval=scale[0], maxval=scale[1]) * h * w
-        log_r = jax.random.uniform(k_r, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
-        r = jnp.exp(log_r)
+        do = (jax.random.uniform(k_p, (n,)) < p) & (i < n_iter)
+        area = jax.random.uniform(k_a, (n,), minval=0.01, maxval=0.04) * h * w
+        r = jnp.exp(jax.random.uniform(k_r, (n,), minval=jnp.log(0.5), maxval=jnp.log(2.0)))
         eh = jnp.clip(jnp.round(jnp.sqrt(area * r)).astype(jnp.int32), 1, h)
         ew = jnp.clip(jnp.round(jnp.sqrt(area / r)).astype(jnp.int32), 1, w)
-        top = jax.random.randint(k_t, (), 0, jnp.maximum(h - eh, 1))
-        left = jax.random.randint(k_l, (), 0, jnp.maximum(w - ew, 1))
-        mask = (rows >= top) & (rows < top + eh) & (cols >= left) & (cols < left + ew)
-        return jnp.where((mask & do)[..., None], 0.0, img)
+        top = (jax.random.uniform(k_t, (n,)) * jnp.maximum(h - eh, 1)).astype(jnp.int32)
+        left = (jax.random.uniform(k_l, (n,)) * jnp.maximum(w - ew, 1)).astype(jnp.int32)
+        row_mask = (rows >= top[:, None]) & (rows < (top + eh)[:, None]) & do[:, None]  # (N, H)
+        col_mask = (cols >= left[:, None]) & (cols < (left + ew)[:, None])  # (N, W)
+        col_mask = jnp.repeat(col_mask, c, axis=-1)  # (N, W*C), w-major like the flat view
+        mask = row_mask[:, :, None] & col_mask[:, None, :]  # (N, H, W*C)
+        return jnp.where(mask, 0.0, flat)
 
-    return jax.lax.fori_loop(0, max_iter, body, img)
-
-
-def _augment_one(rng, img_u8, gt, p_jitter, p_flip, p_erase, max_iter):
-    img = img_u8.astype(jnp.float32) / 255.0
-    k_jp, k_j, k_fp, k_e = jax.random.split(rng, 4)
-
-    # color jitter with prob p (reference: random.py:11-13)
-    do_jitter = jax.random.uniform(k_jp, ()) < p_jitter
-    img = jax.lax.cond(do_jitter, lambda x: _color_jitter_one(k_j, x), lambda x: x, img)
-
-    # horizontal flip + gt cx reflection (reference: random.py:26-30)
-    do_flip = jax.random.uniform(k_fp, ()) < p_flip
-    img = jnp.where(do_flip, img[:, ::-1, :], img)
-    if gt.ndim == 2:  # detection GT: reflect real (nonzero) rows only
-        real = gt[:, 2] * gt[:, 3] > 0
-        flipped_cx = jnp.where(real & do_flip, 1.0 - gt[:, 0], gt[:, 0])
-        gt = gt.at[:, 0].set(flipped_cx)
-
-    # random erasing on the tensor (reference: random.py:33-42)
-    img = jax.lax.cond(
-        p_erase > 0,
-        lambda x: _erase_one(k_e, x, p=p_erase, max_iter=max_iter),
-        lambda x: x,
-        img,
-    )
-    return img, gt
+    return jax.lax.fori_loop(0, max_iter, body, flat).reshape(n, h, w, c)
 
 
 @functools.partial(jax.jit, static_argnames=("p_jitter", "p_flip", "p_erase", "max_iter"))
 def augment_batch(rng, images_u8, gts, p_jitter=0.5, p_flip=0.5, p_erase=0.5, max_iter=3):
     """Batched train-time augmentation on device.
 
-    images_u8: (N, H, W, 3) uint8, gts: (N, G, 4+C) -> float32 images in [0,1], gts.
+    images_u8: (N, H, W, 3) uint8, gts: (N, G, 4+C) or (N, C) -> float32 images
+    in [0,1], gts (cx reflected for flipped detection rows).
     """
-    rngs = jax.random.split(rng, images_u8.shape[0])
-    fn = functools.partial(
-        _augment_one, p_jitter=p_jitter, p_flip=p_flip, p_erase=p_erase, max_iter=max_iter
-    )
-    return jax.vmap(fn)(rngs, images_u8, gts)
+    n = images_u8.shape[0]
+    img = images_u8.astype(jnp.float32) / 255.0
+    k_jp, k_j, k_fp, k_e = jax.random.split(rng, 4)
+
+    # color jitter with per-sample prob p (reference: random.py:11-13)
+    if p_jitter > 0:
+        do_jitter = jax.random.uniform(k_jp, (n,)) < p_jitter
+        img = _color_jitter_batch(k_j, img, do_jitter)
+
+    # horizontal flip + gt cx reflection (reference: random.py:26-30)
+    if p_flip > 0:
+        do_flip = jax.random.uniform(k_fp, (n,)) < p_flip
+        img = jnp.where(do_flip[:, None, None, None], img[:, :, ::-1, :], img)
+        if gts.ndim == 3:  # detection GT: reflect real (nonzero) rows only
+            real = gts[..., 2] * gts[..., 3] > 0
+            flipped_cx = jnp.where(real & do_flip[:, None], 1.0 - gts[..., 0], gts[..., 0])
+            gts = gts.at[..., 0].set(flipped_cx)
+
+    # random erasing on the tensor (reference: random.py:33-42)
+    if p_erase > 0:
+        img = _erase_batch(k_e, img, p_erase, max_iter)
+    return img, gts
 
 
 @jax.jit

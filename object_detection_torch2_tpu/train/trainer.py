@@ -45,6 +45,8 @@ class Trainer:
         mesh=None,
         ce_parity_sign: bool = False,
         use_batch_stats: bool = True,
+        augment: dict | bool = False,
+        seed: int = 0,
     ):
         self.model = model
         self.loss_kind = loss_kind
@@ -53,11 +55,19 @@ class Trainer:
         self.mesh = mesh
         self.ce_parity_sign = ce_parity_sign
         self.use_batch_stats = use_batch_stats
+        # Fused on-device augmentation: when set, train_step accepts raw uint8
+        # batches and runs jitter/flip/erase INSIDE the step program (single
+        # host dispatch per step — dispatch latency through remote runtimes
+        # otherwise dominates; the augment itself is ~2 ms on device at bs32).
+        # The RNG folds state.step into a fixed base key, so the step stays a
+        # pure function of (state, batch).
+        self.augment_config = ({} if augment is True else dict(augment)) if augment else None
+        self._aug_base_key = jax.random.PRNGKey(seed ^ 0x5EED)
         if loss_kind == "multibox" and self.default_boxes is None:
             raise ValueError("multibox loss requires default_boxes")
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._eval_step = jax.jit(self._eval_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl, donate_argnums=(0,), static_argnames=("augment",))
 
     # ------------------------------------------------------------------ losses
     def _loss(self, outputs, targets):
@@ -82,7 +92,19 @@ class Trainer:
         new_bs = mutated.get("batch_stats") or batch_stats
         return out, new_bs
 
+    def _maybe_augment(self, images, targets, key):
+        from object_detection_torch2_tpu.data.augment import augment_batch
+
+        if self.augment_config is not None and images.dtype == jnp.uint8:
+            return augment_batch(key, images, targets, **self.augment_config)
+        if images.dtype == jnp.uint8:
+            return images.astype(jnp.float32) / 255.0, targets
+        return images, targets
+
     def _train_step_impl(self, state: TrainState, images, targets, rng=None):
+        step_key = jax.random.fold_in(self._aug_base_key, state.step) if rng is None else rng
+        images, targets = self._maybe_augment(images, targets, step_key)
+
         def loss_fn(params):
             outputs, new_bs = self._forward(params, state.frozen, state.batch_stats, images, rng, True)
             return self._loss(outputs, targets), new_bs
@@ -91,8 +113,12 @@ class Trainer:
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return state, loss
 
-    def _eval_step_impl(self, state: TrainState, images, targets, rng=None):
+    def _eval_step_impl(self, state: TrainState, images, targets, rng=None, augment: bool = False):
         # no_grad + train-mode BN (reference validation semantics)
+        if augment and rng is not None:
+            images, targets = self._maybe_augment(images, targets, rng)
+        elif images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         outputs, new_bs = self._forward(state.params, state.frozen, state.batch_stats, images, None, True)
         return state.replace(batch_stats=new_bs), self._loss(outputs, targets)
 
@@ -119,5 +145,5 @@ class Trainer:
     def train_step(self, state, images, targets, rng=None):
         return self._train_step(state, images, targets, rng)
 
-    def eval_step(self, state, images, targets):
-        return self._eval_step(state, images, targets)
+    def eval_step(self, state, images, targets, rng=None, augment=False):
+        return self._eval_step(state, images, targets, rng, augment=augment)
