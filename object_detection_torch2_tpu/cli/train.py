@@ -97,7 +97,14 @@ def main(argv=None):
         )
         is_trainable = type(model).is_trainable
     else:
-        model = VGG16(num_classes=20, dtype=common.DTYPES[args.dtype])
+        # transfer_learning=True selects the 20-way classifier2 head. The
+        # reference leaves transfer_learning=False here, so its forward emits
+        # 1000-way logits against one-hot(20) targets and crashes — the
+        # classification purpose never ran as written (quirk Q12, joining
+        # Q2/Q10/Q11 on that path). This is the working intended behavior;
+        # unlike the reference's transfer flag, nothing is frozen (the trainer
+        # controls freezing, and here all params train).
+        model = VGG16(num_classes=20, transfer_learning=True, dtype=common.DTYPES[args.dtype])
         variables = None
         if weights_path.exists():
             print("weights loaded.")

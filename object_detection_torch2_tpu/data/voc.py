@@ -123,6 +123,8 @@ def collate(batch, max_gt: int | None = None):
     """
     images = np.stack([b[0] for b in batch])
     gts = [np.asarray(b[1], np.float32) for b in batch]
+    if gts and gts[0].ndim == 1:  # classification one-hot GT: plain stack
+        return images, np.stack(gts)
     g_max = max_gt if max_gt is not None else max((g.shape[0] for g in gts), default=0)
     width = gts[0].shape[-1] if gts else 0
     out = np.zeros((len(batch), g_max, width), np.float32)

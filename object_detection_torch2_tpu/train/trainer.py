@@ -101,12 +101,18 @@ class Trainer:
             return images.astype(jnp.float32) / 255.0, targets
         return images, targets
 
+    def _needs_dropout(self):
+        # only VGG classification has dropout; SSD's head path has none
+        return self.loss_kind == "cross_entropy"
+
     def _train_step_impl(self, state: TrainState, images, targets, rng=None):
         step_key = jax.random.fold_in(self._aug_base_key, state.step) if rng is None else rng
-        images, targets = self._maybe_augment(images, targets, step_key)
+        aug_key, dropout_key = jax.random.split(step_key)
+        images, targets = self._maybe_augment(images, targets, aug_key)
+        dropout_rng = dropout_key if self._needs_dropout() else None
 
         def loss_fn(params):
-            outputs, new_bs = self._forward(params, state.frozen, state.batch_stats, images, rng, True)
+            outputs, new_bs = self._forward(params, state.frozen, state.batch_stats, images, dropout_rng, True)
             return self._loss(outputs, targets), new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -114,12 +120,17 @@ class Trainer:
         return state, loss
 
     def _eval_step_impl(self, state: TrainState, images, targets, rng=None, augment: bool = False):
-        # no_grad + train-mode BN (reference validation semantics)
+        # no_grad + train-mode BN (reference validation semantics). NB the
+        # reference also leaves dropout ACTIVE during validation (train mode +
+        # no_grad — another Q9 facet); we run dropout deterministically here,
+        # a deliberate divergence (less noisy val loss).
         if augment and rng is not None:
             images, targets = self._maybe_augment(images, targets, rng)
         elif images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
-        outputs, new_bs = self._forward(state.params, state.frozen, state.batch_stats, images, None, True)
+        # train=False only disables dropout; use_batch_stats still selects batch
+        # statistics and BatchNormTPU still updates running stats (mutable)
+        outputs, new_bs = self._forward(state.params, state.frozen, state.batch_stats, images, None, False)
         return state.replace(batch_stats=new_bs), self._loss(outputs, targets)
 
     # ----------------------------------------------------------------- helpers

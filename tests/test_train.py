@@ -134,6 +134,32 @@ def test_trainer_decreases_loss_and_freezes_trunk():
         np.testing.assert_array_equal(a, b)
 
 
+def test_classification_trainer_step():
+    """VGG16 classification path (20-way head, fused augmentation, dropout rng).
+
+    Uses imsize 64 — the flax Dense infers its input width, so unlike the
+    reference (quirk Q10) any imsize works."""
+    from object_detection_torch2_tpu.models.vgg16 import VGG16
+
+    model = VGG16(num_classes=20, transfer_learning=True)
+    trainer = Trainer(model, loss_kind="cross_entropy", augment=True, seed=0)
+    tx = adam_torch(1e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), tx)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    gts = np.eye(20, dtype=np.float32)[rng.integers(0, 20, 2)]
+    losses = []
+    for _ in range(3):
+        state, loss = trainer.train_step(state, jnp.asarray(images), jnp.asarray(gts))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # reference-val-semantics eval step (batch-stats BN, no dropout)
+    state, vloss = trainer.eval_step(state, jnp.asarray(images), jnp.asarray(gts))
+    assert np.isfinite(float(vloss))
+
+
 def test_orbax_roundtrip(tmp_path):
     trainer, state, images, targets = _tiny_setup()
     state, _ = trainer.train_step(state, images, targets)
