@@ -79,9 +79,19 @@ def multibox_loss(
     is_match = B.match_mask(gt_boxes, default_boxes, match_threshold)  # (N, P, G) bool
     match_f = is_match.astype(loc.dtype)
 
-    # localization loss (reference: ssd.py:202-204)
-    g_hat = B.encode_deltas(gt_boxes, default_boxes)  # (N, P, G, 4)
-    l_loc = (B.smooth_l1(loc[:, :, None, :] - g_hat).sum(-1) * match_f).sum(-1)  # (N, P)
+    # localization loss (reference: ssd.py:202-204), computed per coordinate so
+    # no (N, P, G, 4) tensor ever materializes — the largest loss intermediates
+    # stay (N, P, G) and XLA fuses the whole chain into one pass
+    g = gt_boxes[:, None, :, :]  # (N, 1, G, 4)
+    d = default_boxes[None, :, None, :]  # (1, P, 1, 4)
+    sl1_sum = B.smooth_l1(loc[:, :, None, 0] - (g[..., 0] - d[..., 0]) / d[..., 2])
+    sl1_sum += B.smooth_l1(loc[:, :, None, 1] - (g[..., 1] - d[..., 1]) / d[..., 3])
+    g_w, g_h = g[..., 2], g[..., 3]
+    ghat_w = jnp.where(g_w > 0, jnp.log(jnp.where(g_w > 0, g_w, 1.0) / d[..., 2]), g_w)
+    ghat_h = jnp.where(g_h > 0, jnp.log(jnp.where(g_h > 0, g_h, 1.0) / d[..., 3]), g_h)
+    sl1_sum += B.smooth_l1(loc[:, :, None, 2] - ghat_w)
+    sl1_sum += B.smooth_l1(loc[:, :, None, 3] - ghat_h)
+    l_loc = (sl1_sum * match_f).sum(-1)  # (N, P)
 
     # positive confidence loss (reference: ssd.py:208-209)
     ce_pos = B.pairwise_softmax_ce(cls, gt_cls)  # (N, P, G)

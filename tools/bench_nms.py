@@ -1,0 +1,59 @@
+"""NMS implementation shoot-out on the current device (BASELINE config #1/#5 shape).
+
+Compares the three exact greedy implementations at the real problem size
+(bs32 x 8732 anchors): serial loop, blocked XLA (default), Pallas VMEM kernel.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from object_detection_torch2_tpu.ops import nms as nms_mod
+    from object_detection_torch2_tpu.ops.nms_pallas import nms_keep_mask_pallas
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+    n, p = 32, 8732
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((n, p, 4), np.float32)
+    boxes[..., :2] = rng.uniform(0, 1, (n, p, 2))
+    boxes[..., 2:] = rng.uniform(0.02, 0.3, (n, p, 2))
+    scores = rng.uniform(0, 1, (n, p)).astype(np.float32)
+    scores[:, ::2] = 0.0
+    boxes_d, scores_d = jnp.asarray(boxes), jnp.asarray(scores)
+
+    results = {}
+    for name, fn in [
+        ("blocked-xla", nms_mod.nms_keep_mask),
+        ("pallas", nms_keep_mask_pallas),
+        ("serial", nms_mod.nms_keep_mask_serial),
+    ]:
+        f = jax.jit(fn)
+        t0 = time.time()
+        r = f(boxes_d, scores_d)
+        r.block_until_ready()
+        compile_t = time.time() - t0
+        iters = 10
+        t0 = time.time()
+        for _ in range(iters):
+            r = f(boxes_d, scores_d)
+        r.block_until_ready()
+        dt = (time.time() - t0) / iters
+        results[name] = np.asarray(r)
+        print(f"{name:12s}: compile {compile_t:5.1f}s   {dt * 1000:8.2f} ms/batch32   kept {int(results[name].sum())}", flush=True)
+
+    np.testing.assert_array_equal(results["blocked-xla"], results["serial"])
+    np.testing.assert_array_equal(results["pallas"], results["serial"])
+    print("all three implementations bit-identical")
+
+
+if __name__ == "__main__":
+    main()
