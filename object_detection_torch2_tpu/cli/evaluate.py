@@ -35,6 +35,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
 
@@ -48,7 +52,7 @@ def main(argv=None):
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
     variables = jax.tree.map(jnp.asarray, variables)
-    run = build_postprocess(model, args.bn_mode == "batch")
+    run = build_postprocess(model, args.bn_mode == "batch", args.imsize)
 
     num_classes = len(labelmap)
     acc = APAccumulator(num_classes)

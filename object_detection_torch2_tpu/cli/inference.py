@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from object_detection_torch2_tpu.cli import common
-from object_detection_torch2_tpu.core.anchors import default_boxes
+from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
 from object_detection_torch2_tpu.core.boxes import decode_boxes
 from object_detection_torch2_tpu.data.augment import to_tensor_batch
 from object_detection_torch2_tpu.data.loader import DataLoader
@@ -31,8 +31,8 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def build_postprocess(model, use_batch_stats: bool):
-    df = jnp.asarray(default_boxes())
+def build_postprocess(model, use_batch_stats: bool, imsize: int = 300):
+    df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
 
     @jax.jit
     def run(variables, images_u8):
@@ -52,6 +52,10 @@ def build_postprocess(model, use_batch_stats: bool):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
 
@@ -65,7 +69,7 @@ def main(argv=None):
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
     variables = jax.tree.map(jnp.asarray, variables)
-    run = build_postprocess(model, args.bn_mode == "batch")
+    run = build_postprocess(model, args.bn_mode == "batch", args.imsize)
     palette = hls_palette(len(labelmap) + 1)
 
     n = 1

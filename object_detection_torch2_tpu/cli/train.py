@@ -20,7 +20,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 from object_detection_torch2_tpu.cli import common
-from object_detection_torch2_tpu.core.anchors import default_boxes
+from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
 from object_detection_torch2_tpu.data.loader import DataLoader
 from object_detection_torch2_tpu.data.records import RecordDataset
 from object_detection_torch2_tpu.data.voc import PascalVOCDataset, Purpose
@@ -71,6 +71,10 @@ def main(argv=None):
         from object_detection_torch2_tpu.utils.profiling import enable_debug_nans
 
         enable_debug_nans()
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / args.purpose / args.weights
     params_path = Path(args.result_dir) / args.purpose / args.params
 
@@ -89,7 +93,7 @@ def main(argv=None):
         trainer = Trainer(
             model,
             loss_kind="multibox",
-            default_boxes=default_boxes(),
+            default_boxes=default_boxes(feature_grids_for(args.imsize)),
             mesh=mesh,
             use_batch_stats=args.bn_mode == "batch",
             augment=True,  # jitter/flip/erase fused into the step program

@@ -26,6 +26,35 @@ S_MIN = 0.2
 S_MAX = 0.9
 NUM_ANCHORS = sum(m * n * a for m, n, a in FEATURE_GRIDS)
 
+# anchors-per-cell at each of the six detector taps (reference: ssd.py:70-77)
+ANCHORS_PER_LEVEL = (4, 6, 6, 6, 4, 4)
+
+
+def feature_grids_for(imsize: int) -> tuple:
+    """Detector-tap grid sizes for an arbitrary square input size.
+
+    The reference hardcodes the 300x300 grids (reference: src/model/ssd.py:118),
+    so any other --imsize silently breaks it; this derives the grids from the
+    actual conv/pool arithmetic (torch floor semantics, M_P pad on pool_3):
+
+      tap 4_3:  imsize -> pool1 -> pool2 -> padded pool3
+      tap 7_1:  pool4 (layers 6/7 preserve size)
+      tap 8_2 / 9_2: 3x3 stride-2 pad-1 convs
+      tap 10_2 / 11_2: 3x3 valid convs (-2 each)
+    """
+    t = imsize // 2 // 2  # pool1, pool2
+    t = t // 2 + 1  # pool3 with padding=1
+    t43 = t
+    t71 = t43 // 2  # pool4
+    t82 = (t71 - 1) // 2 + 1  # 3x3 s2 p1
+    t92 = (t82 - 1) // 2 + 1
+    t102 = t92 - 2
+    t112 = t102 - 2
+    sizes = (t43, t71, t82, t92, t102, t112)
+    if t112 < 1:
+        raise ValueError(f"imsize {imsize} too small for the SSD pyramid (tap sizes {sizes})")
+    return tuple((s, s, a) for s, a in zip(sizes, ANCHORS_PER_LEVEL))
+
 
 def scale(k: int, num_levels: int = 6, s_min: float = S_MIN, s_max: float = S_MAX) -> float:
     """Anchor scale for level k (1-based): s_k = s_min + (s_max-s_min)(k-1)/(m-1).
