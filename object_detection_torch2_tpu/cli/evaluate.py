@@ -36,8 +36,6 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     if args.distributed:
-        import jax
-
         jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"

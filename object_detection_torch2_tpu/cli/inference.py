@@ -53,8 +53,6 @@ def build_postprocess(model, use_batch_stats: bool, imsize: int = 300):
 def main(argv=None):
     args = parse_args(argv)
     if args.distributed:
-        import jax
-
         jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"

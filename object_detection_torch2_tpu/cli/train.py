@@ -72,8 +72,6 @@ def main(argv=None):
 
         enable_debug_nans()
     if args.distributed:
-        import jax
-
         jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / args.purpose / args.weights
     params_path = Path(args.result_dir) / args.purpose / args.params

@@ -16,9 +16,6 @@ validation. `eval_step` reproduces exactly that (returns an updated state).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
-
 import jax
 import jax.numpy as jnp
 

@@ -1,6 +1,5 @@
 """Evaluation metric parity: TP assignment + AP vs reference goldens (src/evaluate.py)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,11 +1,10 @@
 """Data-parallel mesh: sharding correctness and single-vs-multi-device equivalence."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from object_detection_torch2_tpu.parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
-from tests.test_train import TinyDet, _tiny_setup
+from tests.test_train import _tiny_setup
 
 
 def test_mesh_has_8_virtual_devices():

@@ -7,7 +7,7 @@ import numpy as np
 import optax
 import pytest
 
-from object_detection_torch2_tpu.train import TrainState, adam_torch, exponential_epoch_schedule
+from object_detection_torch2_tpu.train import adam_torch, exponential_epoch_schedule
 from object_detection_torch2_tpu.train import checkpoint as ckpt
 from object_detection_torch2_tpu.train.state import merge_params, partition_params
 from object_detection_torch2_tpu.train.trainer import Trainer
