@@ -1,0 +1,80 @@
+"""Library-level batched detector: the inference pipeline as one object.
+
+The reference exposes inference only as a script (reference: src/inference.py);
+production use wants a library surface. `Predictor` wraps the full compiled
+pipeline — uint8 batch -> forward -> decode -> score -> NMS -> per-image
+detections — behind one jitted call with a static batch size (pad-and-mask for
+ragged final batches is handled internally).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
+from object_detection_torch2_tpu.core.boxes import decode_boxes
+from object_detection_torch2_tpu.data.augment import to_tensor_batch
+from object_detection_torch2_tpu.ops import calc_scores, non_maximum_suppression
+
+
+@dataclass
+class Detections:
+    """Per-image detections in normalized center-form coordinates."""
+
+    boxes: np.ndarray  # (K, 4) [cx, cy, w, h]
+    class_ids: np.ndarray  # (K,) 0-based object class ids (void removed)
+    scores: np.ndarray  # (K,)
+
+
+class Predictor:
+    def __init__(self, model, variables, imsize: int = 300, batch_size: int = 8,
+                 use_batch_stats: bool = True, iou_thresh: float = 0.5):
+        """use_batch_stats=True is the reference-parity default (quirk Q9:
+        it never calls .eval(), so its inference normalizes with batch stats)."""
+        self.model = model
+        self.variables = jax.tree.map(jnp.asarray, variables)
+        self.imsize = imsize
+        self.batch_size = batch_size
+        df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
+
+        @jax.jit
+        def run(variables, images_u8):
+            images = to_tensor_batch(images_u8)
+            out = model.apply(
+                variables, images, train=False, use_batch_stats=use_batch_stats,
+                mutable=["batch_stats"] if use_batch_stats else [],
+            )
+            out = out[0] if isinstance(out, tuple) else out
+            post = jnp.concatenate([decode_boxes(out, df), calc_scores(out)], axis=-1)
+            return non_maximum_suppression(post, iou_thresh=iou_thresh)
+
+        self._run = run
+
+    def predict(self, images_u8: np.ndarray) -> list[Detections]:
+        """images_u8: (M, imsize, imsize, 3) uint8, any M — processed in
+        static-size batches (final batch padded, padding discarded)."""
+        images_u8 = np.asarray(images_u8)
+        results: list[Detections] = []
+        for start in range(0, len(images_u8), self.batch_size):
+            chunk = images_u8[start : start + self.batch_size]
+            real = len(chunk)
+            if real < self.batch_size:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], self.batch_size - real, 0)])
+            out = np.asarray(self._run(self.variables, jnp.asarray(chunk)))
+            for i in range(real):
+                confs = out[i, :, 4:]
+                class_ids = confs.argmax(-1)
+                scores = confs.max(-1)
+                keep = (scores > 0) & (class_ids != 0)
+                results.append(
+                    Detections(
+                        boxes=out[i, keep, :4],
+                        class_ids=class_ids[keep] - 1,  # shift void out (dataset +1 convention)
+                        scores=scores[keep],
+                    )
+                )
+        return results
