@@ -160,6 +160,25 @@ def test_classification_trainer_step():
     assert np.isfinite(float(vloss))
 
 
+def test_running_stats_mode_keeps_batch_stats():
+    """--bn_mode running: BatchNorm never writes, so the mutated collection is
+    empty and the trainer must keep the existing stats (guard in _forward)."""
+    from object_detection_torch2_tpu.models.vgg16 import VGG16
+
+    model = VGG16(num_classes=20, transfer_learning=True)
+    trainer = Trainer(model, loss_kind="cross_entropy", use_batch_stats=False, augment=True)
+    tx = adam_torch(1e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), tx)
+    before = np.asarray(state.batch_stats["bn_1_1"]["mean"])
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    gts = np.eye(20, dtype=np.float32)[rng.integers(0, 20, 2)]
+    state, loss = trainer.train_step(state, jnp.asarray(images), jnp.asarray(gts))
+    assert np.isfinite(float(loss))
+    np.testing.assert_array_equal(np.asarray(state.batch_stats["bn_1_1"]["mean"]), before)
+
+
 def test_orbax_roundtrip(tmp_path):
     trainer, state, images, targets = _tiny_setup()
     state, _ = trainer.train_step(state, images, targets)
