@@ -31,9 +31,6 @@ def add_common_args(parser, batch_size_default: int):
     parser.add_argument("--dtype", type=str, choices=list(DTYPES), default="bfloat16")
     parser.add_argument("--max_gt", type=int, default=64)
     parser.add_argument("--num_devices", type=int, default=None)
-    parser.add_argument("--distributed", action="store_true",
-                        help="multi-host: call jax.distributed.initialize() (DCN between hosts, "
-                             "same data mesh — SURVEY.md §2.3)")
     parser.add_argument(
         "--bn_mode",
         choices=["batch", "running"],

@@ -5,6 +5,12 @@ first-claim TP assignment + per-class AP. The parity metric (default) matches
 the reference's recall-equivalent "average precision" (quirk Q5) so results
 compare directly against the published 0.314 mAP; --strict_ap computes proper
 score-ranked AP as well. Writes the reference's markdown report.
+
+The whole device side — forward, decode, score, NMS, top-K compaction, and the
+TP-assignment matcher — is ONE compiled program per batch; only the compacted
+(N, C, K) match tensors come back to host (K=200 vs the former P=8732 — ~45x
+less D2H per batch). Ragged final batches are masked (pad rows excluded from
+BN batch statistics and from detections/GTs) rather than recompiled.
 """
 
 from __future__ import annotations
@@ -17,12 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from object_detection_torch2_tpu.cli import common
-from object_detection_torch2_tpu.cli.inference import build_postprocess
 from object_detection_torch2_tpu.data.loader import DataLoader
 from object_detection_torch2_tpu.data.records import RecordDataset
 from object_detection_torch2_tpu.data.voc import PascalVOCDataset
+from object_detection_torch2_tpu.infer import build_detection_pipeline
 from object_detection_torch2_tpu.metrics.ap import APAccumulator
 from object_detection_torch2_tpu.metrics.assign import detection_matches
+from object_detection_torch2_tpu.ops import expand_detections
 from object_detection_torch2_tpu.utils.report import write_report
 
 
@@ -30,7 +37,26 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     common.add_common_args(parser, batch_size_default=2)
     parser.add_argument("--strict_ap", action="store_true", help="also report proper score-ranked AP")
+    parser.add_argument("--max_detections", type=int, default=200,
+                        help="device-side top-K compaction bound (post-NMS survivors)")
     return parser.parse_args(argv)
+
+
+def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: int,
+                        max_detections: int = 200):
+    """(variables, images_u8, gts, n_real) -> (detection_matches dict at K rows,
+    n_valid) as one jitted program."""
+    detect = build_detection_pipeline(model, use_batch_stats, imsize, max_detections=max_detections)
+
+    @jax.jit
+    def run(variables, images_u8, gts, n_real):
+        boxes, classes, scores, n_valid = detect(variables, images_u8, n_real)
+        compact = expand_detections(boxes, classes, scores, num_classes + 1)
+        mask = (jnp.arange(gts.shape[0]) < n_real).astype(gts.dtype)
+        matches = detection_matches(compact, gts * mask[:, None, None], num_classes=num_classes)
+        return matches, n_valid
+
+    return run
 
 
 def main(argv=None):
@@ -50,23 +76,25 @@ def main(argv=None):
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
     variables = jax.tree.map(jnp.asarray, variables)
-    run = build_postprocess(model, args.bn_mode == "batch", args.imsize)
 
     num_classes = len(labelmap)
+    run = build_eval_pipeline(
+        model, args.bn_mode == "batch", args.imsize, num_classes, args.max_detections
+    )
     acc = APAccumulator(num_classes)
-    matches_fn = jax.jit(lambda o, g: detection_matches(o, g, num_classes=num_classes))
 
+    truncated = False
     for images_u8, gts in loader:
         images_u8 = np.asarray(images_u8)
         gts = np.asarray(gts, np.float32)
         images_u8, real = common.pad_batch(images_u8, args.batch_size)
         gts_p, _ = common.pad_batch(gts, args.batch_size)
-        if real < args.batch_size:
-            gts_p[real:] = 0  # padded images contribute no GTs/dets (scores copied but gts zeroed)
-        outputs, _ = run(variables, jnp.asarray(images_u8))
-        if real < args.batch_size:
-            outputs = outputs.at[real:, :, 4:].set(0.0)
-        acc.update(matches_fn(outputs, jnp.asarray(gts_p)))
+        matches, n_valid = run(variables, jnp.asarray(images_u8), jnp.asarray(gts_p), real)
+        acc.update(matches)
+        truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
+    if truncated:
+        print(f"warning: >{args.max_detections} post-NMS detections in a batch; "
+              "lowest-scored were dropped (raise --max_detections)")
 
     aps, mean_ap = acc.result(strict=False)
     print("mAP (reference parity metric):", round(mean_ap, 4))

@@ -1,8 +1,12 @@
 """Inference entry point (reference: src/inference.py:13-103).
 
-VOC2007 test -> jitted forward + decode + score -> batched NMS -> PIL rendering
-of boxes/labels (void skipped) saved as result/detection/{n:06}.png. The whole
-device side (forward through NMS) is one compiled pipeline per batch.
+VOC2007 test -> jitted forward + decode + score -> batched NMS -> device-side
+top-K compaction -> PIL rendering of boxes/labels (void skipped) saved as
+result/detection/{n:06}.png. The whole device side (forward through NMS and
+compaction) is ONE compiled program per batch (infer.build_detection_pipeline);
+only (N, K, 6) comes back to host (~200x less D2H than the reference's full
+(N, 8732, 25) haul, src/inference.py:65-69), and rendering reads the host
+uint8 batch directly instead of round-tripping images through the device.
 """
 
 from __future__ import annotations
@@ -11,43 +15,22 @@ import argparse
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from object_detection_torch2_tpu.cli import common
-from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
-from object_detection_torch2_tpu.core.boxes import decode_boxes
-from object_detection_torch2_tpu.data.augment import to_tensor_batch
 from object_detection_torch2_tpu.data.loader import DataLoader
 from object_detection_torch2_tpu.data.records import RecordDataset
 from object_detection_torch2_tpu.data.voc import PascalVOCDataset
-from object_detection_torch2_tpu.ops import calc_scores, non_maximum_suppression
-from object_detection_torch2_tpu.utils.render import hls_palette, render_detections, save_detections
+from object_detection_torch2_tpu.infer import build_detection_pipeline
+from object_detection_torch2_tpu.utils.render import hls_palette, render_detections_compact, save_detections
 
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     common.add_common_args(parser, batch_size_default=2)
+    parser.add_argument("--max_detections", type=int, default=200,
+                        help="device-side top-K compaction bound (post-NMS survivors)")
     return parser.parse_args(argv)
-
-
-def build_postprocess(model, use_batch_stats: bool, imsize: int = 300):
-    df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
-
-    @jax.jit
-    def run(variables, images_u8):
-        images = to_tensor_batch(images_u8)
-        out = model.apply(
-            variables, images, train=False, use_batch_stats=use_batch_stats,
-            mutable=["batch_stats"] if use_batch_stats else [],
-        )
-        out = out[0] if isinstance(out, tuple) else out
-        decoded = decode_boxes(out, df)
-        scores = calc_scores(out)
-        post = jnp.concatenate([decoded, scores], axis=-1)
-        return non_maximum_suppression(post), images
-
-    return run
 
 
 def main(argv=None):
@@ -66,18 +49,24 @@ def main(argv=None):
     loader = DataLoader(dataset, args.batch_size, max_gt=args.max_gt, drop_last=False)
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
-    variables = jax.tree.map(jnp.asarray, variables)
-    run = build_postprocess(model, args.bn_mode == "batch", args.imsize)
+    variables = jax.tree.map(jax.numpy.asarray, variables)
+    run = build_detection_pipeline(
+        model, args.bn_mode == "batch", args.imsize, max_detections=args.max_detections
+    )
     palette = hls_palette(len(labelmap) + 1)
 
     n = 1
     for images_u8, _ in loader:
-        images_u8, real = common.pad_batch(np.asarray(images_u8), args.batch_size)
-        outputs, images = run(variables, jnp.asarray(images_u8))
-        outputs, images = np.asarray(outputs), np.asarray(images)
+        images_u8 = np.asarray(images_u8)
+        padded, real = common.pad_batch(images_u8, args.batch_size)
+        boxes, classes, scores, n_valid = run(variables, jax.numpy.asarray(padded), real)
+        boxes, classes, scores = np.asarray(boxes), np.asarray(classes), np.asarray(scores)
+        if int(np.max(np.asarray(n_valid))) > args.max_detections:
+            print(f"warning: >{args.max_detections} post-NMS detections in a batch; "
+                  "lowest-scored were dropped (raise --max_detections)")
         for i in range(real):
-            img = render_detections(
-                images[i], outputs[i, :, :4], outputs[i, :, 4:], labelmap, args.imsize, palette
+            img = render_detections_compact(
+                images_u8[i], boxes[i], classes[i], scores[i], labelmap, args.imsize, palette
             )
             save_detections(out_dir, n, img)
             n += 1

@@ -47,10 +47,29 @@ def parse_args(argv=None):
     parser.add_argument("--log_dir", type=str, default="./logs")
     parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
     parser.add_argument("--steps_per_epoch", type=int, default=None, help="cap steps (debug/bench)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host data-parallel training: jax.distributed.initialize() "
+                             "(auto-detected on TPU pods), global mesh over all processes' devices, "
+                             "per-process data feeding (data/loader.py), DCN between hosts — "
+                             "SURVEY.md §2.3; tested via tests/test_multihost.py")
     parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace for epoch 1")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on NaN/Inf in jitted outputs (torch detect_anomaly equivalent; slow)")
     return parser.parse_args(argv)
+
+
+def resolve_resume(params: dict | None, base_lr: float, will_orbax_resume: bool):
+    """(min_loss, schedule_base_lr, start_epoch) for the resume surface.
+
+    Reference semantics (train.py:85-95, quirk Q7): params.json re-seeds a
+    FRESH optimizer from the saved (already-decayed) lr, so decay restarts
+    from there. With an orbax exact resume the restored optax step count
+    already carries the decay, so the schedule must be seeded from the
+    original base lr — otherwise lr = base * gamma^2k (advisor r1, medium)."""
+    if params is None:
+        return None, base_lr, 0
+    lr = base_lr if will_orbax_resume else params["lr"]
+    return params["min_loss"], lr, params["last_epoch"]
 
 
 def _build_datasets(args):
@@ -123,11 +142,10 @@ def main(argv=None):
 
     # resume surface (reference: train.py:85-95; quirk Q7: fresh optimizer state)
     params = ckpt.load_params_json(params_path)
+    will_orbax_resume = bool(args.orbax_dir) and ckpt.latest_orbax_step(args.orbax_dir) is not None
     if params is not None:
         print("Params loaded.")
-        min_loss, lr, start_epoch = params["min_loss"], params["lr"], params["last_epoch"]
-    else:
-        min_loss, lr, start_epoch = None, args.lr, 0
+    min_loss, lr, start_epoch = resolve_resume(params, args.lr, will_orbax_resume)
 
     steps_per_epoch = args.steps_per_epoch or len(dl_train)
     schedule = exponential_epoch_schedule(lr, args.gamma, steps_per_epoch)
@@ -156,6 +174,11 @@ def main(argv=None):
         # uint8->float scaling run INSIDE the jitted step (one dispatch/step).
         losses = []
         meter.reset()
+        # the LR in effect this epoch: anchored to the real optax step count so
+        # both resume paths log truthfully (fresh-opt Q7 path: step restarts at
+        # 0 -> decay restarts from the schedule base; orbax path: step continues
+        # -> continued decay from args.lr)
+        epoch_lr = float(schedule(int(state.step)))
         with maybe_trace(args.profile_dir if epoch == 1 + start_epoch else None):
             for images, gts in dl_train:
                 state, loss = trainer.train_step(state, images, gts)
@@ -179,7 +202,6 @@ def main(argv=None):
                 n_val += 1
             val_loss = float(jnp.stack(val_losses).mean()) if val_losses else 0.0
 
-        epoch_lr = float(schedule((epoch - start_epoch - 1) * steps_per_epoch))
         print(
             f"[Epoch {epoch}/{args.epochs + start_epoch}] loss: {round(running_loss, 5)}, "
             f"val_loss: {round(val_loss, 5)}, {images_per_sec:.1f} img/s"

@@ -36,7 +36,7 @@ class DataLoader:
         drop_last: bool = True,
     ):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size (all processes, all devices)
         self.shuffle = shuffle
         self.seed = seed
         self.max_gt = max_gt
@@ -45,6 +45,24 @@ class DataLoader:
         self.drop_last = drop_last
         self.epoch = 0
         self._is_records = hasattr(dataset, "batch")
+        # multi-host DP: every process computes the SAME global index order
+        # (shared seed) and loads only its contiguous slice of each global
+        # batch; mesh_lib.shard_batch assembles the global array from the
+        # process-local slices (jax.make_array_from_process_local_data).
+        import jax
+
+        self._num_procs = jax.process_count()
+        self._proc = jax.process_index()
+        if self._num_procs > 1:
+            if mesh is None:
+                raise ValueError("multi-process run requires a mesh (sharded global batches)")
+            if not drop_last:
+                raise ValueError(
+                    "multi-process DataLoader requires drop_last=True (a ragged final "
+                    "batch cannot be split evenly across processes)"
+                )
+            if batch_size % self._num_procs:
+                raise ValueError(f"batch_size {batch_size} must divide over {self._num_procs} processes")
 
     def __len__(self):
         n = len(self.dataset)
@@ -63,6 +81,9 @@ class DataLoader:
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 return
+            if self._num_procs > 1:
+                per_proc = self.batch_size // self._num_procs
+                idx = idx[self._proc * per_proc : (self._proc + 1) * per_proc]
             if self._is_records:
                 images, gts = self.dataset.batch(np.sort(idx))
                 images, gts = np.ascontiguousarray(images), np.ascontiguousarray(gts)

@@ -18,6 +18,7 @@ memmappable array file once, offline.
 
 from __future__ import annotations
 
+import warnings
 import xml.etree.ElementTree as ET
 from enum import Enum
 from pathlib import Path
@@ -130,5 +131,13 @@ def collate(batch, max_gt: int | None = None):
     out = np.zeros((len(batch), g_max, width), np.float32)
     for i, g in enumerate(gts):
         n = min(g.shape[0], g_max)
+        if g.shape[0] > g_max:
+            # the reference NEVER drops GT (pad_sequence to the batch max —
+            # src/utils.py:8-16); a static bound must not lose boxes silently
+            warnings.warn(
+                f"collate: image has {g.shape[0]} GT boxes, truncating to max_gt={g_max}; "
+                "raise --max_gt to keep them all",
+                stacklevel=2,
+            )
         out[i, :n] = g[:n]
     return images, out

@@ -3,8 +3,16 @@
 The reference exposes inference only as a script (reference: src/inference.py);
 production use wants a library surface. `Predictor` wraps the full compiled
 pipeline — uint8 batch -> forward -> decode -> score -> NMS -> per-image
-detections — behind one jitted call with a static batch size (pad-and-mask for
-ragged final batches is handled internally).
+detections — behind one jitted call with a static batch size. Ragged final
+batches are padded to the static size AND masked: pad rows are excluded from
+BatchNorm batch statistics (models/bn.py `mask`), so real-row outputs equal a
+ragged-size forward exactly (advisor r1) with no recompile.
+
+`build_detection_pipeline` is the shared compiled core (also used by
+cli/inference.py and cli/evaluate.py): everything from uint8 images through
+device-side top-K compaction runs as ONE XLA program per batch — a single host
+dispatch, and (N, K, 6)-sized D2H instead of the reference's full
+(N, 8732, 25) tensor (reference: src/inference.py:65-69), ~200x less traffic.
 """
 
 from __future__ import annotations
@@ -18,7 +26,7 @@ import numpy as np
 from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
 from object_detection_torch2_tpu.core.boxes import decode_boxes
 from object_detection_torch2_tpu.data.augment import to_tensor_batch
-from object_detection_torch2_tpu.ops import calc_scores, non_maximum_suppression
+from object_detection_torch2_tpu.ops import calc_scores, non_maximum_suppression, top_k_detections
 
 
 @dataclass
@@ -30,49 +38,58 @@ class Detections:
     scores: np.ndarray  # (K,)
 
 
+def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
+                             iou_thresh: float = 0.5, max_detections: int = 200):
+    """One jitted program: (variables, images_u8 (N,H,W,3), n_real) ->
+    (boxes (N,K,4), class_ids (N,K), scores (N,K), n_valid (N,)).
+
+    n_real masks a padded ragged final batch: pad rows are excluded from BN
+    batch statistics and their detections zeroed. n_valid counts pre-compaction
+    survivors so callers can detect K-truncation (post-NMS survivors rarely
+    approach the default K=200; any beyond K are the lowest-scored)."""
+    df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
+
+    @jax.jit
+    def run(variables, images_u8, n_real):
+        mask = (jnp.arange(images_u8.shape[0]) < n_real).astype(jnp.float32)
+        images = to_tensor_batch(images_u8)
+        out = model.apply(
+            variables, images, train=False, use_batch_stats=use_batch_stats,
+            batch_mask=mask if use_batch_stats else None,
+            mutable=["batch_stats"] if use_batch_stats else [],
+        )
+        out = out[0] if isinstance(out, tuple) else out
+        post = jnp.concatenate([decode_boxes(out, df), calc_scores(out)], axis=-1)
+        post = non_maximum_suppression(post, iou_thresh=iou_thresh)
+        confs = post[..., 4:]
+        n_valid = jnp.sum((confs.max(-1) > 0) & (jnp.argmax(confs, -1) != 0) & (mask > 0)[:, None], axis=-1)
+        boxes, classes, scores = top_k_detections(post, max_detections, batch_mask=mask)
+        return boxes, classes, scores, n_valid
+
+    return run
+
+
 class Predictor:
     def __init__(self, model, variables, imsize: int = 300, batch_size: int = 8,
                  use_batch_stats: bool = True, iou_thresh: float = 0.5, max_detections: int = 200):
         """use_batch_stats=True is the reference-parity default (quirk Q9:
         it never calls .eval(), so its inference normalizes with batch stats).
-
-        max_detections: detections are compacted ON DEVICE to the top-K by score
-        before the device->host transfer — (N, K, 6) instead of the full
-        (N, 8732, 25) tensor (~200x less D2H traffic; serving-critical over slow
-        host links). Post-NMS survivors rarely approach K=200; any beyond K are
-        the lowest-scored and dropped.
-        """
+        Under that mode detections of a batch depend on the batch's other
+        images (batch statistics) — exactly as in the reference; pad rows of a
+        ragged final batch are masked out of the statistics, so padding never
+        perturbs real images. Pass use_batch_stats=False for conventional
+        running-stats serving."""
         self.model = model
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.imsize = imsize
         self.batch_size = batch_size
-        df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
-
-        @jax.jit
-        def run(variables, images_u8):
-            images = to_tensor_batch(images_u8)
-            out = model.apply(
-                variables, images, train=False, use_batch_stats=use_batch_stats,
-                mutable=["batch_stats"] if use_batch_stats else [],
-            )
-            out = out[0] if isinstance(out, tuple) else out
-            post = jnp.concatenate([decode_boxes(out, df), calc_scores(out)], axis=-1)
-            post = non_maximum_suppression(post, iou_thresh=iou_thresh)
-            # device-side compaction: top-K rows by kept score
-            confs = post[..., 4:]
-            class_ids = jnp.argmax(confs, axis=-1)
-            scores = jnp.max(confs, axis=-1)
-            valid = scores * (class_ids != 0)  # void or suppressed -> 0
-            top_scores, idx = jax.lax.top_k(valid, max_detections)  # (N, K)
-            top_boxes = jnp.take_along_axis(post[..., :4], idx[..., None], axis=1)
-            top_classes = jnp.take_along_axis(class_ids, idx, axis=1)
-            return top_boxes, top_classes, top_scores
-
-        self._run = run
+        self._run = build_detection_pipeline(
+            model, use_batch_stats, imsize=imsize, iou_thresh=iou_thresh, max_detections=max_detections
+        )
 
     def predict(self, images_u8: np.ndarray) -> list[Detections]:
         """images_u8: (M, imsize, imsize, 3) uint8, any M — processed in
-        static-size batches (final batch padded, padding discarded)."""
+        static-size batches (final batch padded + masked, padding discarded)."""
         images_u8 = np.asarray(images_u8)
         results: list[Detections] = []
         for start in range(0, len(images_u8), self.batch_size):
@@ -80,7 +97,9 @@ class Predictor:
             real = len(chunk)
             if real < self.batch_size:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], self.batch_size - real, 0)])
-            boxes, classes, scores = (np.asarray(a) for a in self._run(self.variables, jnp.asarray(chunk)))
+            boxes, classes, scores, _ = (
+                np.asarray(a) for a in self._run(self.variables, jnp.asarray(chunk), real)
+            )
             for i in range(real):
                 keep = scores[i] > 0
                 results.append(

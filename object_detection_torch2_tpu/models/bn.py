@@ -17,6 +17,21 @@ Parity notes vs torch BatchNorm2d (reference uses defaults, e.g. vgg16.py:34):
 - running_var is updated with the UNBIASED variance (torch's n/(n-1)
   correction — flax omits it; we match torch);
 - momentum: torch 0.1 == this module's default (running = 0.9*running + 0.1*batch).
+
+Numerics trade-off (advisor r1): the single-pass variance E[x^2]-E[x]^2 in
+float32 is cancellation-prone when the activation mean dominates the std (it is
+clamped at 0). On realistic weights the end-to-end forward validates to ~5.7e-6
+vs torch (tools/validate_interop.py) and the in-suite pinned golden holds 1e-4
+(tests/test_models.py), but for parity DEBUGGING on badly-scaled layers set
+`two_pass=True` to get torch's shifted two-pass variance E[(x-mean)^2] at the
+cost of a second reduction pass over the activation.
+
+Ragged batches (`mask`): serving pads the final short batch to the static batch
+size; with batch statistics (the reference-parity mode — quirk Q9) the pad rows
+would otherwise perturb the stats and thus the REAL rows' outputs (advisor r1).
+Passing `mask` (N,), 1 for real rows, computes the statistics over real rows
+only — since convs/pools are per-sample, the real rows' outputs then equal a
+ragged-size forward exactly, with no recompile and static shapes.
 """
 
 from __future__ import annotations
@@ -33,9 +48,10 @@ class BatchNormTPU(nn.Module):
     momentum: float = 0.9  # keep-fraction of the running stat (flax convention)
     epsilon: float = 1e-5
     dtype: Any = None  # output dtype; None -> input dtype
+    two_pass: bool = False  # torch-style shifted variance (parity debugging; slower)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
         c = x.shape[-1]
         reduce_axes = tuple(range(x.ndim - 1))
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -47,13 +63,27 @@ class BatchNormTPU(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            # one fused multi-output reduction pass: sum and sum-of-squares
-            mean = jnp.mean(xf, axis=reduce_axes)
-            mean_sq = jnp.mean(jax.lax.square(xf), axis=reduce_axes)
-            var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
-            if not self.is_initializing():
+            if mask is None:
                 n = x.size / c
-                unbiased = var * (n / max(n - 1, 1))  # torch running-stat correction
+                # one fused multi-output reduction pass: sum and sum-of-squares
+                mean = jnp.mean(xf, axis=reduce_axes)
+                if self.two_pass:
+                    var = jnp.mean(jax.lax.square(xf - mean), axis=reduce_axes)
+                else:
+                    mean_sq = jnp.mean(jax.lax.square(xf), axis=reduce_axes)
+                    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+            else:
+                m = mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+                per_sample = x.size / (x.shape[0] * c)  # H*W elements per (sample, channel)
+                n = jnp.maximum(jnp.sum(m) * per_sample, 1.0)
+                mean = jnp.sum(xf * m, axis=reduce_axes) / n
+                if self.two_pass:
+                    var = jnp.sum(jax.lax.square(xf - mean) * m, axis=reduce_axes) / n
+                else:
+                    mean_sq = jnp.sum(jax.lax.square(xf) * m, axis=reduce_axes) / n
+                    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1, 1))  # torch running-stat correction
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
 

@@ -96,7 +96,8 @@ class SSD(nn.Module):
     # passes); irrelevant when dtype=bfloat16, which is the TPU fast path.
     precision: Any = jax.lax.Precision.HIGHEST
 
-    def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats):
+    def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
+                      batch_mask=None):
         x = nn.Conv(
             features=features,
             kernel_size=(kernel, kernel),
@@ -114,11 +115,14 @@ class SSD(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             name=f"bn_{name_suffix}",
-        )(x)
+        )(x, mask=batch_mask)
         return nn.relu(x)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True, use_batch_stats: bool | None = None):
+    def __call__(self, x: jax.Array, train: bool = True, use_batch_stats: bool | None = None,
+                 batch_mask: jax.Array | None = None):
+        """`batch_mask` (N,) marks real rows of a padded (ragged final) batch so
+        batch statistics exclude the pad rows — see models/bn.py docstring."""
         if use_batch_stats is None:
             use_batch_stats = True  # parity default: reference never leaves train-mode BN (Q9)
         n = x.shape[0]
@@ -132,7 +136,7 @@ class SSD(nn.Module):
         for block, channels, pool in VGG_BLOCKS:
             for sub, ch in enumerate(channels, start=1):
                 suffix = f"{block}_{sub}"
-                x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats)
+                x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats, batch_mask)
                 if suffix in taps:
                     feature_maps[suffix] = x
             if pool is not None:
@@ -140,7 +144,7 @@ class SSD(nn.Module):
 
         # extra layers (reference: ssd.py:46-68)
         for suffix, kernel, ch, stride, pad in EXTRA_LAYERS:
-            x = self._conv_bn_relu(x, suffix, ch, kernel, stride, pad, train, use_batch_stats)
+            x = self._conv_bn_relu(x, suffix, ch, kernel, stride, pad, train, use_batch_stats, batch_mask)
             if suffix in taps:
                 feature_maps[suffix] = x
 

@@ -19,6 +19,14 @@ SURVEY.md §2.2). Two exact batched formulations exist here:
   table (the naive loop's ~39 GB at bs32) to O(P/128) (~0.3 GB).
 - `nms_keep_mask_serial`: the literal one-candidate-per-step loop, kept as the
   semantics reference for equivalence tests.
+
+Tie behavior (pinned): candidates are ordered by stable `jnp.argsort`, so among
+EXACT score ties the lowest index goes first (and, for exact-duplicate rows,
+survives). The reference's `torch.sort` (utils.py:99) is unstable — its choice
+among tied rows is unpinned even across torch versions. The kept-row MULTISET
+matches the executed reference exactly (tests/test_nms.py nms_ties golden);
+only the surviving row-index within identical-duplicate groups can differ,
+which is unobservable downstream.
 """
 
 from __future__ import annotations

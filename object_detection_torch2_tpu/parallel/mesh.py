@@ -6,8 +6,11 @@ scales by the one strategy this model warrants — data parallelism — expresse
 the XLA-native way: a 1-D `Mesh(('data',))`, batches sharded over it with
 `NamedSharding`, parameters replicated, and the gradient all-reduce emitted by
 XLA as an ICI collective inside the jitted train step. Multi-host extends this
-by initializing jax.distributed and using the same mesh over all processes
-(DCN between hosts), with no code change here.
+by initializing jax.distributed (see `init_distributed`) and using the same
+mesh over all processes: each process feeds its local slice of the global
+batch (`shard_batch`) and XLA routes the all-reduce over ICI within hosts and
+DCN across them. Tested with a real 2-process CPU cluster in
+tests/test_multihost.py.
 
 TP/PP/SP/EP are deliberately not built: the largest layer is a 3x3x1024 conv —
 nothing to shard (SURVEY.md §2.3).
@@ -20,6 +23,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+def init_distributed(coordinator_address: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None):
+    """jax.distributed.initialize for multi-host DP (the --distributed flag).
+
+    On TPU pods the arguments are auto-detected from the environment. On the
+    CPU backend (tests; CPU clusters) cross-process collectives need the gloo
+    implementation selected before backend init."""
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
 def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
@@ -41,9 +56,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """device_put a pytree of host arrays with the batch axis sharded."""
-    return jax.device_put(tree, batch_sharding(mesh))
+    """Host arrays -> device with the batch axis sharded over the mesh.
+
+    Single process: a plain device_put of the full batch. Multi-process
+    (multi-host DP after `jax.distributed.initialize`): each process passes its
+    PROCESS-LOCAL slice of the global batch (global_batch/process_count rows —
+    the DataLoader feeds exactly that) and the global array is assembled with
+    `jax.make_array_from_process_local_data`; XLA then runs the gradient
+    all-reduce over ICI within hosts and DCN across them."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def _make(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape=global_shape)
+
+    return jax.tree.map(_make, tree)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate host values over the mesh (all processes must hold identical
+    values — e.g. model params initialized from the same seed)."""
     return jax.device_put(tree, replicated_sharding(mesh))

@@ -54,6 +54,22 @@ def load_params_json(path) -> dict | None:
 
 
 # ------------------------------------------------------------------- orbax layer
+def latest_orbax_step(ckpt_dir) -> int | None:
+    """Latest checkpoint step in an orbax dir, or None if empty/absent.
+
+    Lets callers decide — BEFORE building the optimizer/schedule — whether an
+    exact resume will happen. Needed because the restored optax step count
+    already carries the LR decay: seeding the schedule from the (already
+    decayed) params.json lr on top of it would double-decay (advisor r1)."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    if not ckpt_dir.exists():
+        return None
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        return mngr.latest_step()
+
+
 def save_train_state(ckpt_dir, state, step: int | None = None):
     import orbax.checkpoint as ocp
 

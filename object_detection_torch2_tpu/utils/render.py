@@ -24,13 +24,23 @@ def hls_palette(n_colors: int, h: float = 0.01, l: float = 0.6, s: float = 0.65)
 def render_detections(image_f01: np.ndarray, locs: np.ndarray, confs: np.ndarray, labelmap, imsize: int, palette=None) -> Image.Image:
     """image_f01: (H, W, 3) float [0,1]; locs: (P, 4) decoded center-form;
     confs: (P, C) one-class-kept scores (post-NMS). Returns a PIL image."""
-    if palette is None:
-        palette = hls_palette(len(labelmap) + 1)
-    image = Image.fromarray((np.asarray(image_f01) * 255).astype("uint8"))
-    draw = ImageDraw.Draw(image)
     class_ids = np.argmax(confs, axis=1)
     scores = np.max(confs, axis=1)
-    for loc, class_id, score in zip(np.asarray(locs), class_ids, scores):
+    image_u8 = (np.asarray(image_f01) * 255).astype("uint8")
+    return render_detections_compact(image_u8, locs, class_ids, scores, labelmap, imsize, palette)
+
+
+def render_detections_compact(image_u8: np.ndarray, locs: np.ndarray, class_ids: np.ndarray,
+                              scores: np.ndarray, labelmap, imsize: int, palette=None) -> Image.Image:
+    """Compacted-detections variant (ops.top_k_detections layout): image_u8
+    (H, W, 3) uint8; locs (K, 4); class_ids (K,) with 0 = void/empty; scores (K,).
+    Rendering directly from the host uint8 batch skips the device image
+    round-trip entirely (the u8 -> /255 -> *255 -> u8 pipeline is the identity)."""
+    if palette is None:
+        palette = hls_palette(len(labelmap) + 1)
+    image = Image.fromarray(np.asarray(image_u8))
+    draw = ImageDraw.Draw(image)
+    for loc, class_id, score in zip(np.asarray(locs), np.asarray(class_ids), np.asarray(scores)):
         if class_id == 0:  # void
             continue
         cx, cy, w, h = (float(v) * imsize for v in loc)

@@ -52,6 +52,48 @@ def test_eval_mode_uses_running_stats():
     np.testing.assert_allclose(np.asarray(y), expect, atol=1e-5)
 
 
+def test_masked_stats_equal_ragged_forward():
+    """Pad-and-mask == ragged: with `mask` excluding pad rows, both the
+    normalized outputs of the real rows AND the running-stat updates must match
+    a forward over just the real rows (advisor r1 — pad rows must not perturb
+    real images' detections)."""
+    x = _data(n=4)
+    x_padded = np.concatenate([x, np.full((2, 6, 6, 8), 7.0, np.float32)])  # poison pads
+    mask = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+
+    model = BatchNormTPU(use_running_average=False)
+    v = model.init(jax.random.PRNGKey(0), x)
+    y_ragged, m_ragged = model.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    y_masked, m_masked = model.apply(v, jnp.asarray(x_padded), mask, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(y_masked)[:4], np.asarray(y_ragged), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_masked["batch_stats"]["mean"]), np.asarray(m_ragged["batch_stats"]["mean"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_masked["batch_stats"]["var"]), np.asarray(m_ragged["batch_stats"]["var"]), rtol=1e-5
+    )
+
+
+def test_two_pass_variance_flag():
+    """two_pass=True (parity-debug mode, advisor r1) computes torch's shifted
+    variance E[(x-mean)^2]; on well-conditioned data both formulations agree."""
+    x = _data()
+    one = BatchNormTPU(use_running_average=False)
+    two = BatchNormTPU(use_running_average=False, two_pass=True)
+    v = one.init(jax.random.PRNGKey(0), x)
+    y1, m1 = one.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    y2, m2 = two.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    # adversarial: huge mean vs tiny std — single-pass cancels to ~0, two-pass doesn't
+    bad = (1e4 + 0.01 * np.random.default_rng(1).standard_normal((4, 6, 6, 8))).astype(np.float32)
+    vb = one.init(jax.random.PRNGKey(0), bad)
+    _, mb2 = two.apply(vb, jnp.asarray(bad), mutable=["batch_stats"])
+    var2 = (np.asarray(mb2["batch_stats"]["var"]) - 0.9) / 0.1  # unbiased batch var
+    ref = bad.reshape(-1, 8).var(axis=0) * (bad.size / 8) / (bad.size / 8 - 1)
+    np.testing.assert_allclose(var2, ref, rtol=2e-2)
+
+
 def test_bf16_path_dtype_and_accuracy():
     x = _data().astype(jnp.bfloat16)
     model = BatchNormTPU(use_running_average=False, dtype=jnp.bfloat16)

@@ -58,6 +58,24 @@ def test_collate_pads_static(ds):
     assert (gts[2, 3:] == 0).all()  # 3 real boxes, rest zero
 
 
+def test_collate_warns_on_gt_truncation(ds):
+    """The reference never drops GT (pad_sequence to the batch max —
+    src/utils.py:8-16); the static bound must not lose boxes silently."""
+    import warnings
+
+    batch = [ds[i] for i in range(3)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _, gts = collate(batch, max_gt=2)  # image 2 has 3 boxes
+    assert gts.shape[1] == 2
+    assert any("truncating to max_gt=2" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        collate(batch, max_gt=8)  # roomy bound: silent
+    assert not caught
+
+
 def test_records_roundtrip(tmp_path, ds):
     rec = pack_voc([FIXTURE], "trainval.txt", tmp_path / "rec", imsize=96, max_gt=8, log_every=0)
     assert len(rec) == 4

@@ -22,3 +22,24 @@ def test_predictor_ragged_batches():
         if len(d.class_ids):
             assert d.class_ids.min() >= 0 and d.class_ids.max() <= 19
             assert (d.scores > 0).all()
+
+
+def test_predictor_padding_does_not_perturb_real_images():
+    """Ragged final batch: pad rows are excluded from BN batch statistics, so a
+    real image's detections are identical whether it arrives alone (bs=1, no
+    padding) or padded up to a larger static batch (advisor r1; the reference
+    forwards ragged batches as-is, src/inference.py:55-65). imsize 264 is the
+    smallest valid SSD pyramid (the anchor grid is imsize-generic)."""
+    model = SSD(num_classes=21)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 264, 264, 3)), train=False)
+    image = np.random.default_rng(1).integers(0, 255, (1, 264, 264, 3)).astype(np.uint8)
+
+    solo = Predictor(model, variables, imsize=264, batch_size=1).predict(image)
+    padded = Predictor(model, variables, imsize=264, batch_size=4).predict(image)
+    assert len(solo) == len(padded) == 1
+    np.testing.assert_array_equal(solo[0].class_ids, padded[0].class_ids)
+    # masked-sum-over-padded vs mean-over-ragged reduce in different orders, so
+    # stats differ by ~1e-7 rel; exp() in the box decode amplifies that to ~4e-6
+    # rel on random-weight logits — equality is mathematical, not bitwise
+    np.testing.assert_allclose(solo[0].scores, padded[0].scores, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(solo[0].boxes, padded[0].boxes, rtol=1e-4, atol=1e-5)

@@ -52,6 +52,34 @@ def test_exponential_epoch_schedule():
     assert float(sched(25)) == pytest.approx(1e-3 * 0.95**2)
 
 
+def test_resolve_resume_no_lr_double_decay():
+    """Resuming with BOTH params.json and an orbax checkpoint must seed the
+    schedule from the original base lr: the restored optax step count already
+    carries gamma^k, and params.json stores the decayed lr — combining them
+    would give lr = base * gamma^2k (advisor r1, medium)."""
+    from object_detection_torch2_tpu.cli.train import resolve_resume
+
+    base_lr, gamma, epochs_done, spe = 1e-3, 0.95, 10, 7
+    saved = {"min_loss": 0.5, "lr": base_lr * gamma**epochs_done, "last_epoch": epochs_done}
+
+    # fresh run: no params.json
+    assert resolve_resume(None, base_lr, False) == (None, base_lr, 0)
+
+    # Q7-parity path (no orbax): fresh optimizer re-seeded from the saved lr
+    min_loss, lr, start = resolve_resume(saved, base_lr, False)
+    assert (min_loss, start) == (0.5, epochs_done)
+    assert lr == pytest.approx(base_lr * gamma**epochs_done)
+    sched = exponential_epoch_schedule(lr, gamma, spe)
+    assert float(sched(0)) == pytest.approx(base_lr * gamma**epochs_done)
+
+    # orbax exact resume: schedule base = args.lr; the restored step count
+    # (epochs_done * spe) then lands exactly where the decay left off
+    _, lr, _ = resolve_resume(saved, base_lr, True)
+    assert lr == base_lr
+    sched = exponential_epoch_schedule(lr, gamma, spe)
+    assert float(sched(epochs_done * spe)) == pytest.approx(base_lr * gamma**epochs_done, rel=1e-6)
+
+
 def test_partition_and_merge():
     params = {"conv_1_1": 1, "bn_5_3": 2, "conv_6_1": 3, "det_4_3": 4}
     from object_detection_torch2_tpu.models.ssd import SSD
