@@ -21,6 +21,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+from tqdm import tqdm
 
 from object_detection_torch2_tpu.cli import common
 from object_detection_torch2_tpu.data.loader import DataLoader
@@ -61,8 +62,6 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.distributed:
-        jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
 
@@ -84,7 +83,8 @@ def main(argv=None):
     acc = APAccumulator(num_classes)
 
     truncated = False
-    for images_u8, gts in loader:
+    # per-batch progress (reference: evaluate.py:118-121 tqdm); auto-disabled on non-TTY
+    for images_u8, gts in tqdm(loader, total=len(loader), disable=None, unit="batch"):
         images_u8 = np.asarray(images_u8)
         gts = np.asarray(gts, np.float32)
         images_u8, real = common.pad_batch(images_u8, args.batch_size)

@@ -16,6 +16,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+from tqdm import tqdm
 
 from object_detection_torch2_tpu.cli import common
 from object_detection_torch2_tpu.data.loader import DataLoader
@@ -35,8 +36,6 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.distributed:
-        jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
 
@@ -56,7 +55,8 @@ def main(argv=None):
     palette = hls_palette(len(labelmap) + 1)
 
     n = 1
-    for images_u8, _ in loader:
+    # per-batch progress (reference: inference.py:56-59 tqdm); auto-disabled on non-TTY
+    for images_u8, _ in tqdm(loader, total=len(loader), disable=None, unit="batch"):
         images_u8 = np.asarray(images_u8)
         padded, real = common.pad_batch(images_u8, args.batch_size)
         boxes, classes, scores, n_valid = run(variables, jax.numpy.asarray(padded), real)

@@ -19,6 +19,8 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+from tqdm import tqdm
+
 from object_detection_torch2_tpu.cli import common
 from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
 from object_detection_torch2_tpu.data.loader import DataLoader
@@ -43,10 +45,18 @@ def parse_args(argv=None):
     parser.add_argument("--val_records_dir", type=str, default=None)
     parser.add_argument("--val_aug", choices=["train", "none"], default="train",
                         help="parity default 'train' (quirk Q3: reference gives val the train augs)")
+    parser.add_argument("--train_aug", choices=["train", "none"], default="train",
+                        help="'none' disables the random train augmentations (overfit/debug; "
+                             "the reference always augments — tools/overfit_proof.py uses this)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_dir", type=str, default="./logs")
     parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
     parser.add_argument("--steps_per_epoch", type=int, default=None, help="cap steps (debug/bench)")
+    parser.add_argument("--save_interval", type=int, default=1,
+                        help="check the save-if-improved condition every N epochs (and always on "
+                             "the last epoch). Default 1 = reference parity (train.py:145-152); "
+                             "raise for short-epoch runs where the checkpoint D2H+write dominates "
+                             "(e.g. tools/overfit_proof.py)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host data-parallel training: jax.distributed.initialize() "
                              "(auto-detected on TPU pods), global mesh over all processes' devices, "
@@ -113,7 +123,7 @@ def main(argv=None):
             default_boxes=default_boxes(feature_grids_for(args.imsize)),
             mesh=mesh,
             use_batch_stats=args.bn_mode == "batch",
-            augment=True,  # jitter/flip/erase fused into the step program
+            augment=args.train_aug == "train",  # jitter/flip/erase fused into the step program
             seed=args.seed,
         )
         is_trainable = type(model).is_trainable
@@ -135,7 +145,7 @@ def main(argv=None):
             loss_kind="cross_entropy",
             mesh=mesh,
             use_batch_stats=args.bn_mode == "batch",
-            augment=True,
+            augment=args.train_aug == "train",
             seed=args.seed,
         )
         is_trainable = lambda path: True  # noqa: E731  (reference trains all VGG params here)
@@ -174,6 +184,12 @@ def main(argv=None):
         # uint8->float scaling run INSIDE the jitted step (one dispatch/step).
         losses = []
         meter.reset()
+        # per-step running-loss bar (reference: train.py:105-108 tqdm desc).
+        # The displayed loss lags ONE step: step i's scalar is read only after
+        # step i+1 has been dispatched, so the D2H never stalls the device
+        # pipeline (the reference's per-step .item() sync cost ~zero here).
+        pbar = tqdm(total=steps_per_epoch, disable=None, leave=False, unit="step")
+        run_sum = 0.0
         # the LR in effect this epoch: anchored to the real optax step count so
         # both resume paths log truthfully (fresh-opt Q7 path: step restarts at
         # 0 -> decay restarts from the schedule base; orbax path: step continues
@@ -184,8 +200,13 @@ def main(argv=None):
                 state, loss = trainer.train_step(state, images, gts)
                 losses.append(loss)
                 meter.step()
+                if len(losses) > 1 and not pbar.disable:
+                    run_sum += float(losses[-2])
+                    pbar.set_description(f"[{epoch}, {meter.steps}] loss: {run_sum / (meter.steps - 1):.4f}")
+                pbar.update(1)
                 if args.steps_per_epoch and meter.steps >= args.steps_per_epoch:
                     break
+        pbar.close()
         n_steps = meter.steps
         running_loss = float(jnp.stack(losses).mean()) if losses else 0.0
         images_per_sec = meter.images_per_sec()
@@ -210,7 +231,8 @@ def main(argv=None):
         writer.add_scalar("loss/validation", val_loss, epoch)
         writer.add_scalar("lr", epoch_lr, epoch)
 
-        if (min_loss is None) or (running_loss < min_loss):
+        save_check = (epoch - start_epoch) % args.save_interval == 0 or epoch == args.epochs + start_epoch
+        if save_check and ((min_loss is None) or (running_loss < min_loss)):
             min_loss = running_loss
             ckpt.save_weights(weights_path, {"params": state.all_params, "batch_stats": state.batch_stats})
             ckpt.save_params_json(params_path, running_loss, epoch_lr, epoch)
