@@ -31,6 +31,7 @@ from object_detection_torch2_tpu.infer import build_detection_pipeline
 from object_detection_torch2_tpu.metrics.ap import APAccumulator
 from object_detection_torch2_tpu.metrics.assign import detection_matches
 from object_detection_torch2_tpu.ops import expand_detections
+from object_detection_torch2_tpu.utils.hostsync import FetchPipeline
 from object_detection_torch2_tpu.utils.report import write_report
 
 
@@ -51,7 +52,8 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
 
     @jax.jit
     def run(variables, images_u8, gts, n_real):
-        boxes, classes, scores, n_valid = detect(variables, images_u8, n_real)
+        packed, n_valid = detect(variables, images_u8, n_real)
+        boxes, classes, scores = packed[..., :4], packed[..., 4].astype(jnp.int32), packed[..., 5]
         compact = expand_detections(boxes, classes, scores, num_classes + 1)
         mask = (jnp.arange(gts.shape[0]) < n_real).astype(gts.dtype)
         matches = detection_matches(compact, gts * mask[:, None, None], num_classes=num_classes)
@@ -83,15 +85,28 @@ def main(argv=None):
     acc = APAccumulator(num_classes)
 
     truncated = False
-    # per-batch progress (reference: evaluate.py:118-121 tqdm); auto-disabled on non-TTY
+
+    def drain(done):
+        nonlocal truncated
+        matches, n_valid = done
+        acc.update(matches)
+        truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
+
+    # per-batch progress (reference: evaluate.py:118-121 tqdm); auto-disabled on
+    # non-TTY. Pipelined (utils.hostsync.FetchPipeline): each batch's match
+    # tensors start their async D2H at dispatch and are accumulated two batches
+    # later, overlapping device compute with the host round trip.
+    pipe = FetchPipeline()
     for images_u8, gts in tqdm(loader, total=len(loader), disable=None, unit="batch"):
         images_u8 = np.asarray(images_u8)
         gts = np.asarray(gts, np.float32)
         images_u8, real = common.pad_batch(images_u8, args.batch_size)
         gts_p, _ = common.pad_batch(gts, args.batch_size)
-        matches, n_valid = run(variables, jnp.asarray(images_u8), jnp.asarray(gts_p), real)
-        acc.update(matches)
-        truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
+        done = pipe.push(run(variables, jnp.asarray(images_u8), jnp.asarray(gts_p), real))
+        if done is not None:
+            drain(done)
+    for done in pipe.flush():
+        drain(done)
     if truncated:
         print(f"warning: >{args.max_detections} post-NMS detections in a batch; "
               "lowest-scored were dropped (raise --max_detections)")

@@ -22,7 +22,8 @@ from object_detection_torch2_tpu.cli import common
 from object_detection_torch2_tpu.data.loader import DataLoader
 from object_detection_torch2_tpu.data.records import RecordDataset
 from object_detection_torch2_tpu.data.voc import PascalVOCDataset
-from object_detection_torch2_tpu.infer import build_detection_pipeline
+from object_detection_torch2_tpu.infer import build_detection_pipeline, unpack_detections
+from object_detection_torch2_tpu.utils.hostsync import FetchPipeline
 from object_detection_torch2_tpu.utils.render import hls_palette, render_detections_compact, save_detections
 
 
@@ -55,21 +56,37 @@ def main(argv=None):
     palette = hls_palette(len(labelmap) + 1)
 
     n = 1
-    # per-batch progress (reference: inference.py:56-59 tqdm); auto-disabled on non-TTY
-    for images_u8, _ in tqdm(loader, total=len(loader), disable=None, unit="batch"):
-        images_u8 = np.asarray(images_u8)
-        padded, real = common.pad_batch(images_u8, args.batch_size)
-        boxes, classes, scores, n_valid = run(variables, jax.numpy.asarray(padded), real)
-        boxes, classes, scores = np.asarray(boxes), np.asarray(classes), np.asarray(scores)
-        if int(np.max(np.asarray(n_valid))) > args.max_detections:
-            print(f"warning: >{args.max_detections} post-NMS detections in a batch; "
-                  "lowest-scored were dropped (raise --max_detections)")
+    truncated = False
+
+    def drain(pending):
+        nonlocal n, truncated
+        images_u8, packed, n_valid, real = pending
+        boxes, classes, scores = unpack_detections(packed)
+        truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
         for i in range(real):
             img = render_detections_compact(
                 images_u8[i], boxes[i], classes[i], scores[i], labelmap, args.imsize, palette
             )
             save_detections(out_dir, n, img)
             n += 1
+
+    # per-batch progress (reference: inference.py:56-59 tqdm); auto-disabled on
+    # non-TTY. Pipelined (utils.hostsync.FetchPipeline): each batch's packed
+    # results start their async D2H at dispatch and are rendered two batches
+    # later, overlapping device compute, the host round trip, and PIL work.
+    pipe = FetchPipeline()
+    for images_u8, _ in tqdm(loader, total=len(loader), disable=None, unit="batch"):
+        images_u8 = np.asarray(images_u8)
+        padded, real = common.pad_batch(images_u8, args.batch_size)
+        packed, n_valid = run(variables, jax.numpy.asarray(padded), real)
+        done = pipe.push((images_u8, packed, n_valid, real))
+        if done is not None:
+            drain(done)
+    for done in pipe.flush():
+        drain(done)
+    if truncated:
+        print(f"warning: >{args.max_detections} post-NMS detections in a batch; "
+              "lowest-scored were dropped (raise --max_detections)")
     print("Finished Inference")
 
 

@@ -41,7 +41,14 @@ class Detections:
 def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
                              iou_thresh: float = 0.5, max_detections: int = 200):
     """One jitted program: (variables, images_u8 (N,H,W,3), n_real) ->
-    (boxes (N,K,4), class_ids (N,K), scores (N,K), n_valid (N,)).
+    (packed (N,K,6), n_valid (N,)).
+
+    packed rows are [cx, cy, w, h, class_id, score], score-descending —
+    `unpack_detections` splits them host-side. Packing everything into one
+    array keeps the per-batch device->host traffic to a single transfer:
+    through a remote runtime each separate fetch pays a full round trip
+    (measured ~31 ms floor through the dev tunnel, tools/bench_infer_detail.py),
+    which would otherwise dwarf the ~10-40 ms of device compute per batch.
 
     n_real masks a padded ragged final batch: pad rows are excluded from BN
     batch statistics and their detections zeroed. n_valid counts pre-compaction
@@ -64,9 +71,19 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
         confs = post[..., 4:]
         n_valid = jnp.sum((confs.max(-1) > 0) & (jnp.argmax(confs, -1) != 0) & (mask > 0)[:, None], axis=-1)
         boxes, classes, scores = top_k_detections(post, max_detections, batch_mask=mask)
-        return boxes, classes, scores, n_valid
+        packed = jnp.concatenate(
+            [boxes, classes[..., None].astype(boxes.dtype), scores[..., None]], axis=-1
+        ).astype(jnp.float32)
+        return packed, n_valid
 
     return run
+
+
+def unpack_detections(packed):
+    """Host-side split of the pipeline's packed (N, K, 6) rows ->
+    (boxes (N,K,4) f32, class_ids (N,K) int32, scores (N,K) f32)."""
+    packed = np.asarray(packed, np.float32)
+    return packed[..., :4], packed[..., 4].astype(np.int32), packed[..., 5]
 
 
 class Predictor:
@@ -89,24 +106,40 @@ class Predictor:
 
     def predict(self, images_u8: np.ndarray) -> list[Detections]:
         """images_u8: (M, imsize, imsize, 3) uint8, any M — processed in
-        static-size batches (final batch padded + masked, padding discarded)."""
+        static-size batches (final batch padded + masked, padding discarded).
+
+        Pipelined (utils.hostsync.FetchPipeline): each batch's packed results
+        start their async D2H at dispatch time and are consumed two batches
+        later, so both the device compute and the host round trip overlap
+        later batches' work."""
+        from object_detection_torch2_tpu.utils.hostsync import FetchPipeline
+
         images_u8 = np.asarray(images_u8)
         results: list[Detections] = []
+        pipe = FetchPipeline()
+
         for start in range(0, len(images_u8), self.batch_size):
             chunk = images_u8[start : start + self.batch_size]
             real = len(chunk)
             if real < self.batch_size:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], self.batch_size - real, 0)])
-            boxes, classes, scores, _ = (
-                np.asarray(a) for a in self._run(self.variables, jnp.asarray(chunk), real)
-            )
-            for i in range(real):
-                keep = scores[i] > 0
-                results.append(
-                    Detections(
-                        boxes=boxes[i, keep],
-                        class_ids=classes[i, keep] - 1,  # shift void out (dataset +1 convention)
-                        scores=scores[i, keep],
-                    )
-                )
+            packed, _ = self._run(self.variables, jnp.asarray(chunk), real)
+            done = pipe.push((packed, real))
+            if done is not None:
+                self._drain(done, results)
+        for done in pipe.flush():
+            self._drain(done, results)
         return results
+
+    def _drain(self, pending, results: list[Detections]):
+        packed, real = pending
+        boxes, classes, scores = unpack_detections(packed)
+        for i in range(real):
+            keep = scores[i] > 0
+            results.append(
+                Detections(
+                    boxes=boxes[i, keep],
+                    class_ids=classes[i, keep] - 1,  # shift void out (dataset +1 convention)
+                    scores=scores[i, keep],
+                )
+            )

@@ -124,7 +124,20 @@ def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 
         killed = jnp.einsum("nip,ni->np", hit, kept_blk.astype(jnp.float32)) > 0.0
         return keep & ~(killed & (col > start + BLOCK - 1))
 
-    keep_sorted = jax.lax.fori_loop(0, num_blocks, outer, sorted_valid)
+    # Early exit (exact): only candidates with keep=True can suppress anything,
+    # and candidates are score-sorted, so once no live candidate remains at or
+    # after the current block the remaining iterations are no-ops. A trained
+    # model leaves a few dozen positive anchors -> ~1 of the 69 blocks runs;
+    # the worst case (e.g. random weights: every anchor positive) is unchanged.
+    def cond(state):
+        blk_idx, keep = state
+        return (blk_idx < num_blocks) & jnp.any(keep & (col >= blk_idx * BLOCK))
+
+    def body(state):
+        blk_idx, keep = state
+        return blk_idx + 1, outer(blk_idx, keep)
+
+    _, keep_sorted = jax.lax.while_loop(cond, body, (jnp.int32(0), sorted_valid))
     keep_sorted = keep_sorted[:, :p]
     return jnp.put_along_axis(
         jnp.zeros((n, p), jnp.bool_), order, keep_sorted, axis=-1, inplace=False
