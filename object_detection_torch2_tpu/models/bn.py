@@ -44,20 +44,35 @@ import jax.numpy as jnp
 
 
 class BatchNormTPU(nn.Module):
+    """`fold`: the input carries `fold` spatial phases per logical channel
+    (channel slot = q*c + ch, phase-major — the paired-x layout of models/ssd.py
+    block 1). Statistics reduce over the phase copies too, so params/stats stay
+    (c,) and are bit-compatible with the unpaired layout; the affine is applied
+    tiled. fold=1 is the plain layout."""
+
     use_running_average: bool = False
     momentum: float = 0.9  # keep-fraction of the running stat (flax convention)
     epsilon: float = 1e-5
     dtype: Any = None  # output dtype; None -> input dtype
     two_pass: bool = False  # torch-style shifted variance (parity debugging; slower)
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
-        c = x.shape[-1]
+        c = x.shape[-1] // self.fold
         reduce_axes = tuple(range(x.ndim - 1))
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        def defold(stat_full):
+            """(fold*c,) phase-major slot stats -> (c,) logical-channel stats."""
+            return stat_full.reshape(self.fold, c).mean(axis=0) if self.fold > 1 else stat_full
+
+        def refold(stat):
+            """(c,) -> (fold*c,) tiled back over the phase slots."""
+            return jnp.tile(stat, self.fold) if self.fold > 1 else stat
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -66,21 +81,21 @@ class BatchNormTPU(nn.Module):
             if mask is None:
                 n = x.size / c
                 # one fused multi-output reduction pass: sum and sum-of-squares
-                mean = jnp.mean(xf, axis=reduce_axes)
+                mean = defold(jnp.mean(xf, axis=reduce_axes))
                 if self.two_pass:
-                    var = jnp.mean(jax.lax.square(xf - mean), axis=reduce_axes)
+                    var = defold(jnp.mean(jax.lax.square(xf - refold(mean)), axis=reduce_axes))
                 else:
-                    mean_sq = jnp.mean(jax.lax.square(xf), axis=reduce_axes)
+                    mean_sq = defold(jnp.mean(jax.lax.square(xf), axis=reduce_axes))
                     var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
             else:
                 m = mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
-                per_sample = x.size / (x.shape[0] * c)  # H*W elements per (sample, channel)
+                per_sample = x.size / (x.shape[0] * c)  # fold*H*W elements per (sample, channel)
                 n = jnp.maximum(jnp.sum(m) * per_sample, 1.0)
-                mean = jnp.sum(xf * m, axis=reduce_axes) / n
+                mean = defold(jnp.sum(xf * m, axis=reduce_axes)) * (self.fold / n)
                 if self.two_pass:
-                    var = jnp.sum(jax.lax.square(xf - mean) * m, axis=reduce_axes) / n
+                    var = defold(jnp.sum(jax.lax.square(xf - refold(mean)) * m, axis=reduce_axes)) * (self.fold / n)
                 else:
-                    mean_sq = jnp.sum(jax.lax.square(xf) * m, axis=reduce_axes) / n
+                    mean_sq = defold(jnp.sum(jax.lax.square(xf) * m, axis=reduce_axes)) * (self.fold / n)
                     var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1, 1))  # torch running-stat correction
@@ -91,4 +106,4 @@ class BatchNormTPU(nn.Module):
         shift = bias - mean * inv
         out_dtype = self.dtype or x.dtype
         # single fused elementwise kernel: bf16 in -> f32 math -> out dtype
-        return (x.astype(jnp.float32) * inv + shift).astype(out_dtype)
+        return (x.astype(jnp.float32) * refold(inv) + refold(shift)).astype(out_dtype)
