@@ -34,6 +34,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from object_detection_torch2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from object_detection_torch2_tpu.core.anchors import default_boxes
     from object_detection_torch2_tpu.models.ssd import SSD
     from object_detection_torch2_tpu.parallel import make_mesh, shard_batch

@@ -11,6 +11,9 @@ from object_detection_torch2_tpu.data.labelmap import LabelMap
 from object_detection_torch2_tpu.models.convert import merge_variables, ssd_trunk_from_vgg16_variables
 from object_detection_torch2_tpu.models.ssd import SSD
 from object_detection_torch2_tpu.train import checkpoint as ckpt
+from object_detection_torch2_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # SSD300 compiles take minutes; repeats should not
 
 # reference data roots were hardcoded (reference: train.py:43, 50); here they are flags
 DEFAULT_TRAIN_DIRS = ["/work/data/VOCdevkit/VOC2007", "/work/data/VOCdevkit/VOC2012"]

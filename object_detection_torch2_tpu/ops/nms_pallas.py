@@ -2,33 +2,36 @@
 
 The reference's NMS is a per-image Python while-loop (reference:
 src/utils.py:90-113, O(P^2) — SURVEY.md §2.2). ops/nms.py replaces it with a
-blocked XLA formulation (the production default, ~0.03 ms/batch32 on a v5e);
-this kernel expresses the same blocked algorithm as ONE Pallas program so every
-intermediate — the candidate boxes, the keep mask, the per-block IoU tiles —
-lives in VMEM for the entire pass:
+blocked XLA formulation (the production default); this kernel expresses the
+same blocked algorithm as ONE Pallas program so every intermediate — the
+candidate box planes, the keep mask, the per-block IoU tiles — lives in VMEM
+for the entire pass:
 
-- outer fori over score-sorted 128-wide pivot blocks;
-- per block, the in-block IoU tile is computed once into a VMEM scratch
-  (stored pivot-major so the sequential greedy reads rows via leading-dim
-  `pl.ds` — Mosaic has no dynamic_slice on values);
-- the exact in-block greedy runs 128 steps; the "is pivot i still alive"
-  scalar is extracted with a masked lane-reduction (no lane-dim dynamic
-  indexing);
-- kept pivots then suppress all later candidates chunk-by-chunk, each cross
-  tile a (N, 128, 128) VMEM temp.
+- outer loop over score-sorted 128-wide pivot blocks, with the same exact
+  early exit as ops/nms.py: once no live candidate remains at or after the
+  current block, later iterations cannot change anything (only kept candidates
+  suppress, and candidates are score-sorted), so the loop stops — a trained
+  model's few dozen positives process ~1 of the 69 blocks;
+- per block, the in-block (N, B, B) IoU tile is computed once into VMEM and
+  the exact greedy solved by the triangular FIXPOINT iteration (identical to
+  ops/nms.py `_block_self_suppress`: each pass pins a prefix, so it provably
+  reaches the greedy solution in <= chain-depth passes). Round 1 ran a literal
+  128-step serial greedy here — 8832 sequential VPU steps across the blocks
+  was the entire 38 ms;
+- kept pivots then suppress all strictly-later candidates chunk-by-chunk, each
+  cross tile a (N, B, B) VMEM temp.
 
 Sorting stays outside the kernel (XLA's sort is fine); the kernel computes the
-keep mask over sorted candidates. Bit-identical to the serial greedy loop —
-see tests/test_nms_pallas.py and tools/bench_nms.py.
+keep mask over sorted candidates. Bit-identical to the serial greedy loop and
+the blocked-XLA default — tests/test_nms_pallas.py, tools/bench_nms.py.
 
-Measured at bs32 x 8732 on a v5e (tools/bench_nms.py): serial 135 ms, this
-kernel 38 ms, blocked-XLA 0.03 ms. The kernel's literal 128-step in-block
-greedy is inherently serial; the XLA default replaces it with an exact fixpoint
-iteration (converges in a few fused (N,B,B) passes) and lets XLA stream the
-cross-suppression as full-width ops — which is why the blocked-XLA formulation
-REMAINS THE DEFAULT. This kernel is kept as the VMEM-resident reference
-implementation of the kernel path (and the three implementations are asserted
-bit-identical).
+Measured at bs32 x 8732 on a v5e with per-iteration blocking (tools/bench_nms.py):
+blocked-XLA 0.43 ms dense / 0.03 ms sparse, this kernel 43 / 35 ms, serial
+161 ms. The gap is structural: XLA lowers the cross-suppression to full-width
+MXU einsum contractions and fuses the IoU math into them, while this kernel's
+chunked VPU max-reduces pay per-chunk loop overhead — so the blocked-XLA
+formulation REMAINS THE PRODUCTION DEFAULT and this kernel is the VMEM-resident
+reference implementation of the kernel path.
 """
 
 from __future__ import annotations
@@ -44,10 +47,12 @@ BLOCK = 128
 
 
 def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, tile_ref, *, iou_thresh, num_blocks):
-    """Planes (N, Pb) f32 VMEM; keep_ref (N, Pb) f32 out; tile_ref (B, N, B) scratch."""
+    """Planes (N, Pb) f32 VMEM; keep_ref (N, Pb) f32 out; tile_ref (N, B, B) scratch."""
     n, pb = x1_ref.shape
     keep_ref[:] = valid_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n, BLOCK), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, pb), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)[None]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)[None]
 
     def iou_rect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
         """a*: (..., A, 1)-broadcastable, b*: (..., 1, B) -> IoU (..., A, B)."""
@@ -57,30 +62,35 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, tile_ref, *
         union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
         return jnp.where(inter > 0, inter / union, 0.0)
 
-    def outer(b, _):
+    def outer_body(b):
         start = pl.multiple_of(b * BLOCK, BLOCK)
         bx1 = x1_ref[:, pl.ds(start, BLOCK)]
         by1 = y1_ref[:, pl.ds(start, BLOCK)]
         bx2 = x2_ref[:, pl.ds(start, BLOCK)]
         by2 = y2_ref[:, pl.ds(start, BLOCK)]
 
-        # in-block IoU tile, pivot-major: tile[i, n, j] = IoU(box_i, box_j)
+        # in-block IoU tile: tile[n, j, i] = IoU(box_j, box_i)
         tile_ref[:] = iou_rect(
-            bx1.T[:, :, None], by1.T[:, :, None], bx2.T[:, :, None], by2.T[:, :, None],
-            bx1[None, :, :], by1[None, :, :], bx2[None, :, :], by2[None, :, :],
+            bx1[:, :, None], by1[:, :, None], bx2[:, :, None], by2[:, :, None],
+            bx1[:, None, :], by1[:, None, :], bx2[:, None, :], by2[:, None, :],
         )
+        over = jnp.where((tile_ref[:] > iou_thresh) & (jj < ii), 1.0, 0.0)  # j suppresses i
 
-        # exact greedy over the block: 128 sequential VMEM-only steps
-        def inner(i, _):
-            row = tile_ref[pl.ds(i, 1)][0]  # (N, B)
-            cur = keep_ref[:, pl.ds(start, BLOCK)]
-            alive_i = jnp.sum(cur * jnp.where(lane == i, 1.0, 0.0), axis=1, keepdims=True)
-            suppress = (alive_i > 0.0) & (row > iou_thresh) & (lane > i)
-            keep_ref[:, pl.ds(start, BLOCK)] = jnp.where(suppress, 0.0, cur)
-            return 0
+        # exact greedy via the triangular fixpoint (ops/nms.py semantics)
+        alive = keep_ref[:, pl.ds(start, BLOCK)]
 
-        jax.lax.fori_loop(0, BLOCK, inner, 0)
-        kept_blk = keep_ref[:, pl.ds(start, BLOCK)]
+        def fix_cond(state):
+            _, changed = state
+            return changed
+
+        def fix_body(state):
+            k, _ = state
+            killed = jnp.max(over * k[:, :, None], axis=1)  # (N, B)
+            k_new = jnp.where(killed > 0.0, 0.0, alive)
+            return k_new, jnp.any(k_new != k)
+
+        kept_blk, _ = jax.lax.while_loop(fix_cond, fix_body, (alive, True))
+        keep_ref[:, pl.ds(start, BLOCK)] = kept_blk
 
         # kept pivots suppress every strictly-later candidate, 128 lanes at a time
         def cross_chunk(q, _):
@@ -99,9 +109,16 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, tile_ref, *
             return 0
 
         jax.lax.fori_loop(0, num_blocks, cross_chunk, 0)
-        return 0
 
-    jax.lax.fori_loop(0, num_blocks, outer, 0)
+    # early exit: stop once nothing is alive at or after the current block
+    def outer_cond(b):
+        return (b < num_blocks) & (jnp.max(jnp.where(col >= b * BLOCK, keep_ref[:], 0.0)) > 0.0)
+
+    def outer_step(b):
+        outer_body(b)
+        return b + 1
+
+    jax.lax.while_loop(outer_cond, outer_step, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh",))
@@ -130,7 +147,7 @@ def nms_keep_mask_pallas(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: f
         out_shape=jax.ShapeDtypeStruct((n, pb), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BLOCK, n, BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, BLOCK, BLOCK), jnp.float32)],
     )(*planes, sorted_valid)
 
     keep_sorted = keep_sorted[:, :p] > 0.0

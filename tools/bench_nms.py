@@ -30,6 +30,13 @@ def main():
     scores[:, ::2] = 0.0
     boxes_d, scores_d = jnp.asarray(boxes), jnp.asarray(scores)
 
+    # sparse scores = trained-model regime (the early exits fire); the original
+    # half-positive scores are the dense/worst-case regime
+    scores_sparse = np.zeros_like(scores)
+    keep_idx = rng.choice(p, 40, replace=False)
+    scores_sparse[:, keep_idx] = rng.uniform(0.1, 1.0, (n, 40)).astype(np.float32)
+    sparse_d = jnp.asarray(scores_sparse)
+
     results = {}
     for name, fn in [
         ("blocked-xla", nms_mod.nms_keep_mask),
@@ -42,13 +49,16 @@ def main():
         r.block_until_ready()
         compile_t = time.time() - t0
         iters = 10
-        t0 = time.time()
-        for _ in range(iters):
-            r = f(boxes_d, scores_d)
-        r.block_until_ready()
-        dt = (time.time() - t0) / iters
-        results[name] = np.asarray(r)
-        print(f"{name:12s}: compile {compile_t:5.1f}s   {dt * 1000:8.2f} ms/batch32   kept {int(results[name].sum())}", flush=True)
+        times = {}
+        for regime, sc in [("dense", scores_d), ("sparse", sparse_d)]:
+            f(boxes_d, sc).block_until_ready()  # warm this shape/path
+            t0 = time.time()
+            for _ in range(iters):
+                f(boxes_d, sc).block_until_ready()  # block EVERY iter: wall time, no queue artifacts
+            times[regime] = (time.time() - t0) / iters * 1000
+        results[name] = np.asarray(f(boxes_d, scores_d))
+        print(f"{name:12s}: compile {compile_t:5.1f}s   dense {times['dense']:8.2f} ms/batch32   "
+              f"sparse {times['sparse']:7.2f} ms   kept {int(results[name].sum())}", flush=True)
 
     np.testing.assert_array_equal(results["blocked-xla"], results["serial"])
     np.testing.assert_array_equal(results["pallas"], results["serial"])
