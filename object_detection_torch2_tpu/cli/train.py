@@ -158,6 +158,12 @@ def main(argv=None):
     min_loss, lr, start_epoch = resolve_resume(params, args.lr, will_orbax_resume)
 
     steps_per_epoch = args.steps_per_epoch or len(dl_train)
+    if steps_per_epoch == 0:
+        raise SystemExit(
+            f"dataset ({len(ds_train)} samples) is smaller than batch_size "
+            f"{args.batch_size}: no full batch to train on (batches are "
+            f"static-shaped with drop_last) — lower --batch_size"
+        )
     schedule = exponential_epoch_schedule(lr, args.gamma, steps_per_epoch)
     tx = adam_torch(schedule, weight_decay=args.weight_decay)
     rng = jax.random.PRNGKey(args.seed)
@@ -207,12 +213,11 @@ def main(argv=None):
                 if args.steps_per_epoch and meter.steps >= args.steps_per_epoch:
                     break
         pbar.close()
-        n_steps = meter.steps
         running_loss = float(jnp.stack(losses).mean()) if losses else 0.0
         images_per_sec = meter.images_per_sec()
 
         if dl_val is not None:
-            val_losses, n_val = [], 0
+            val_losses = []
             for images, gts in dl_val:
                 val_rng, key = jax.random.split(val_rng)
                 # Q3 parity: the reference gives the val set the TRAIN augs
@@ -220,7 +225,6 @@ def main(argv=None):
                     state, images, gts, rng=key, augment=args.val_aug == "train"
                 )
                 val_losses.append(loss)
-                n_val += 1
             val_loss = float(jnp.stack(val_losses).mean()) if val_losses else 0.0
 
         print(
