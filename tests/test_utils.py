@@ -99,3 +99,47 @@ def test_write_report(tmp_path):
     assert "|aeroplane|0.0|" in text
     assert "|**mean**|**0.475**|" in text
     assert path.name.startswith("report_")
+
+
+def test_fetch_pipeline_order_and_flush():
+    """FetchPipeline yields every pushed item exactly once, in order, with a
+    `depth`-item lag; jax Arrays get their D2H started at push time."""
+    import jax.numpy as jnp
+
+    from object_detection_torch2_tpu.utils.hostsync import FetchPipeline
+
+    pipe = FetchPipeline(depth=2)
+    got = []
+    for i in range(5):
+        done = pipe.push((jnp.full((4,), i), i))
+        if done is not None:
+            got.append(done)
+    assert [i for _, i in got] == [0, 1, 2]  # item i pops at push i+depth
+    got.extend(pipe.flush())
+    assert [i for _, i in got] == [0, 1, 2, 3, 4]
+    for arr, i in got:
+        np.testing.assert_array_equal(np.asarray(arr), np.full((4,), i))
+
+
+def test_fetch_pipeline_empty_flush():
+    from object_detection_torch2_tpu.utils.hostsync import FetchPipeline
+
+    assert list(FetchPipeline().flush()) == []
+
+
+def test_compilation_cache_env(tmp_path, monkeypatch):
+    """enable_compilation_cache honors JAX_COMPILATION_CACHE_DIR, including the
+    empty-string disable convention."""
+    import jax
+
+    from object_detection_torch2_tpu.utils.cache import enable_compilation_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "xla"))
+        assert enable_compilation_cache() == str(tmp_path / "xla")
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+        assert enable_compilation_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
