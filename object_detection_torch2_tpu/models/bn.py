@@ -20,7 +20,7 @@ Parity notes vs torch BatchNorm2d (reference uses defaults, e.g. vgg16.py:34):
 
 Numerics trade-off (advisor r1): the single-pass variance E[x^2]-E[x]^2 in
 float32 is cancellation-prone when the activation mean dominates the std (it is
-clamped at 0). On realistic weights the end-to-end forward validates to ~5.7e-6
+clamped at 0). On realistic weights the end-to-end forward validates to ~4e-6
 vs torch (tools/validate_interop.py) and the in-suite pinned golden holds 1e-4
 (tests/test_models.py), but for parity DEBUGGING on badly-scaled layers set
 `two_pass=True` to get torch's shifted two-pass variance E[(x-mean)^2] at the
