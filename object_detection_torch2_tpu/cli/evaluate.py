@@ -113,6 +113,7 @@ def main(argv=None):
 
     aps, mean_ap = acc.result(strict=False)
     print("mAP (reference parity metric):", round(mean_ap, 4))
+    strict_mean = None
     if args.strict_ap:
         strict_aps, strict_mean = acc.result(strict=True)
         print("mAP (strict, score-ranked):", round(strict_mean, 4))
@@ -120,7 +121,7 @@ def main(argv=None):
     path = write_report(out_dir, vars(args), aps, mean_ap, labelmap)
     print("report:", path)
     print("Finished Evaluate")
-    return aps, mean_ap
+    return aps, mean_ap, strict_mean
 
 
 if __name__ == "__main__":

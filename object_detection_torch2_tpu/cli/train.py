@@ -48,6 +48,9 @@ def parse_args(argv=None):
     parser.add_argument("--train_aug", choices=["train", "none"], default="train",
                         help="'none' disables the random train augmentations (overfit/debug; "
                              "the reference always augments — tools/overfit_proof.py uses this)")
+    parser.add_argument("--train_trunk", action="store_true",
+                        help="unfreeze the VGG trunk (reference parity freezes it — "
+                             "src/model/ssd.py:31-32; use when no pretrained VGG exists)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_dir", type=str, default="./logs")
     parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
@@ -75,10 +78,19 @@ def resolve_resume(params: dict | None, base_lr: float, will_orbax_resume: bool)
     FRESH optimizer from the saved (already-decayed) lr, so decay restarts
     from there. With an orbax exact resume the restored optax step count
     already carries the decay, so the schedule must be seeded from the
-    original base lr — otherwise lr = base * gamma^2k (advisor r1, medium)."""
+    ORIGINAL base lr — otherwise lr = base * gamma^2k (advisor r1, medium).
+    That base comes from params.json's `base_lr` extension field when present
+    (so resuming without re-passing --lr keeps the original schedule); args.lr
+    is the fallback for checkpoints written before the field existed."""
     if params is None:
         return None, base_lr, 0
-    lr = base_lr if will_orbax_resume else params["lr"]
+    if will_orbax_resume:
+        lr = params.get("base_lr", base_lr)
+        if "base_lr" not in params and params["lr"] != base_lr:
+            print(f"warning: orbax resume without a recorded base_lr — seeding the "
+                  f"schedule from --lr {base_lr} (params.json holds decayed lr {params['lr']})")
+    else:
+        lr = params["lr"]
     return params["min_loss"], lr, params["last_epoch"]
 
 
@@ -101,7 +113,12 @@ def main(argv=None):
 
         enable_debug_nans()
     if args.distributed:
-        jax.distributed.initialize()  # multi-host: same mesh, DCN between hosts
+        # multi-host: same mesh, DCN between hosts. init_distributed also
+        # selects gloo CPU collectives on CPU backends — the configuration
+        # tests/test_multihost.py validates.
+        from object_detection_torch2_tpu.parallel import init_distributed
+
+        init_distributed()
     weights_path = Path(args.result_dir) / args.purpose / args.weights
     params_path = Path(args.result_dir) / args.purpose / args.params
 
@@ -126,7 +143,11 @@ def main(argv=None):
             augment=args.train_aug == "train",  # jitter/flip/erase fused into the step program
             seed=args.seed,
         )
-        is_trainable = type(model).is_trainable
+        # reference parity: the VGG trunk is frozen (src/model/ssd.py:31-32,
+        # 160-179) — its recipe assumes an ImageNet-pretrained trunk.
+        # --train_trunk unfreezes it for from-scratch training (TPU extension;
+        # without pretrained weights frozen random features cap accuracy).
+        is_trainable = (lambda path: True) if args.train_trunk else type(model).is_trainable
     else:
         # transfer_learning=True selects the 20-way classifier2 head. The
         # reference leaves transfer_learning=False here, so its forward emits
@@ -175,6 +196,10 @@ def main(argv=None):
         if restored is not None:
             print("Orbax state restored (exact optimizer resume).")
             state = restored
+            # params.json (written only on improved epochs at --save_interval
+            # cadence) can lag the orbax state, which saves EVERY epoch — the
+            # restored step count is the truth for epoch numbering
+            start_epoch = int(state.step) // steps_per_epoch
 
     writer = SummaryWriter(log_dir=args.log_dir)
     val_rng = jax.random.PRNGKey(args.seed + 1)
@@ -239,7 +264,9 @@ def main(argv=None):
         if save_check and ((min_loss is None) or (running_loss < min_loss)):
             min_loss = running_loss
             ckpt.save_weights(weights_path, {"params": state.all_params, "batch_stats": state.batch_stats})
-            ckpt.save_params_json(params_path, running_loss, epoch_lr, epoch)
+            # base_lr = this run's schedule base, so an orbax resume can rebuild
+            # the schedule without the user re-passing --lr
+            ckpt.save_params_json(params_path, running_loss, epoch_lr, epoch, base_lr=lr)
         if args.orbax_dir:
             ckpt.save_train_state(args.orbax_dir, state)
 

@@ -37,12 +37,20 @@ def load_weights(path) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
-def save_params_json(path, min_loss: float, lr: float, last_epoch: int):
-    """Reference params.json semantics (reference: train.py:150-152)."""
+def save_params_json(path, min_loss: float, lr: float, last_epoch: int, base_lr: float | None = None):
+    """Reference params.json semantics (reference: train.py:150-152).
+
+    `base_lr` is a TPU extension the reference file doesn't carry: the
+    UNDECAYED schedule base, so an orbax exact resume can rebuild the schedule
+    without the user re-passing --lr (the reference 'lr' field stores the
+    already-decayed value — quirk Q7). Extra keys don't disturb parity readers."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    record = {"min_loss": float(min_loss), "lr": float(lr), "last_epoch": int(last_epoch)}
+    if base_lr is not None:
+        record["base_lr"] = float(base_lr)
     with open(path, "w") as f:
-        json.dump({"min_loss": float(min_loss), "lr": float(lr), "last_epoch": int(last_epoch)}, f, indent=4)
+        json.dump(record, f, indent=4)
 
 
 def load_params_json(path) -> dict | None:

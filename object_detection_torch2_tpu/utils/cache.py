@@ -26,7 +26,8 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # cache is an optimization; never fail the run over it
         return None
     return path

@@ -72,12 +72,16 @@ def test_resolve_resume_no_lr_double_decay():
     sched = exponential_epoch_schedule(lr, gamma, spe)
     assert float(sched(0)) == pytest.approx(base_lr * gamma**epochs_done)
 
-    # orbax exact resume: schedule base = args.lr; the restored step count
-    # (epochs_done * spe) then lands exactly where the decay left off
-    _, lr, _ = resolve_resume(saved, base_lr, True)
+    # orbax exact resume: schedule base = the recorded base_lr; the restored
+    # step count (epochs_done * spe) then lands exactly where the decay left off
+    _, lr, _ = resolve_resume({**saved, "base_lr": base_lr}, 9.9, True)
     assert lr == base_lr
     sched = exponential_epoch_schedule(lr, gamma, spe)
     assert float(sched(epochs_done * spe)) == pytest.approx(base_lr * gamma**epochs_done, rel=1e-6)
+
+    # pre-base_lr checkpoints fall back to args.lr (with a warning)
+    _, lr, _ = resolve_resume(saved, base_lr, True)
+    assert lr == base_lr
 
 
 def test_partition_and_merge():

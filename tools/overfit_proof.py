@@ -71,7 +71,7 @@ def main(argv=None):
     train_s = time.time() - t0
 
     t1 = time.time()
-    aps, mean_ap = eval_cli.main([
+    aps, mean_ap, strict_map = eval_cli.main([
         "--data_dirs", data,
         "--result_dir", result_dir,
         "--batch_size", "4",
@@ -86,6 +86,7 @@ def main(argv=None):
         "lr": args.lr,
         "dtype": args.dtype,
         "parity_mAP": round(float(mean_ap), 4),
+        "strict_mAP": round(float(strict_map), 4) if strict_map is not None else None,
         "per_class_AP": [round(float(v), 4) if v == v else None for v in aps],
         "threshold": args.threshold,
         "passed": bool(mean_ap >= args.threshold),
