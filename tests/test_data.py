@@ -128,3 +128,25 @@ def test_to_tensor_batch():
     images = np.full((1, 4, 4, 3), 255, np.uint8)
     out = np.asarray(to_tensor_batch(images))
     np.testing.assert_allclose(out, 1.0)
+
+
+def test_synth_voc_tree_parses(tmp_path):
+    """tools/synth_voc.py output must round-trip through PascalVOCDataset in
+    both purposes (the generalization proof depends on this)."""
+    from tools.synth_voc import generate
+
+    from object_detection_torch2_tpu.data.voc import PascalVOCDataset
+
+    generate(tmp_path, n_train=3, n_test=2, seed=1)
+    ds = PascalVOCDataset("detection", [str(tmp_path)], "trainval.txt", 300)
+    assert len(ds) == 3
+    image, gt = ds[0]
+    assert image.shape == (300, 300, 3) and image.dtype == np.uint8
+    assert gt.shape[1] == 4 + 21 and len(gt) >= 1
+    # boxes normalized and inside the image; one-hot rows sum to 1 (non-void)
+    assert (gt[:, :4] >= 0).all() and (gt[:, :4] <= 1).all()
+    assert (gt[:, 4:].sum(axis=1) == 1).all() and (gt[:, 4] == 0).all()
+
+    test_ds = PascalVOCDataset("classification", [str(tmp_path)], "test.txt", 100)
+    crop, onehot = test_ds[0]
+    assert crop.shape == (100, 100, 3) and onehot.shape == (20,)
