@@ -105,3 +105,37 @@ def test_bf16_path_dtype_and_accuracy():
     xf = np.asarray(x, np.float32).reshape(-1, 8)
     # updated running mean = 0.9*0 + 0.1*batch_mean
     np.testing.assert_allclose(np.asarray(m["batch_stats"]["mean"]), 0.1 * xf.mean(0), atol=5e-3)
+
+
+def test_fold_matches_unfolded_layout():
+    """fold=2 (paired-x layout, slot q*c+ch) must produce the same statistics,
+    running-stat updates, and per-element outputs as the plain layout."""
+    x = _data(n=2, h=4, w=6, c=8)
+    # paired view: fold adjacent w-pixels into channels (N, H, W/2, 2C)
+    xp = x.reshape(2, 4, 3, 16)
+
+    plain = BatchNormTPU(use_running_average=False)
+    folded = BatchNormTPU(use_running_average=False, fold=2)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    vf = folded.init(jax.random.PRNGKey(1), xp)
+    assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(lambda a: a.shape, vf)
+
+    y, m = plain.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    yf, mf = folded.apply(v, jnp.asarray(xp), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y).reshape(2, 4, 3, 16), rtol=1e-5, atol=1e-6)
+    for stat in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mf["batch_stats"][stat]), np.asarray(m["batch_stats"][stat]), rtol=1e-5, atol=1e-7
+        )
+
+    # masked path: excluding sample 1 must equal plain stats over sample 0 only
+    mask = jnp.asarray([1.0, 0.0])
+    y0, m0 = plain.apply(v, jnp.asarray(x[:1]), mutable=["batch_stats"])
+    ym, mm = folded.apply(v, jnp.asarray(xp), mask=mask, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(ym[:1]), np.asarray(y0).reshape(1, 4, 3, 16), rtol=1e-5, atol=1e-6
+    )
+    for stat in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mm["batch_stats"][stat]), np.asarray(m0["batch_stats"][stat]), rtol=1e-5, atol=1e-7
+        )
