@@ -31,6 +31,13 @@ from pathlib import Path  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from object_detection_torch2_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+# the suite is dominated by CPU XLA compiles of SSD/VGG forwards; the
+# persistent cache cuts repeat runs from ~10 min to ~2 (same env override
+# semantics as the CLIs — JAX_COMPILATION_CACHE_DIR="" disables)
+enable_compilation_cache(os.path.join(os.path.expanduser("~"), ".cache", "object_detection_torch2_tpu", "xla-tests"))
+
 GOLDENS = Path(__file__).parent / "goldens"
 
 
