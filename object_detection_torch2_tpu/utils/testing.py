@@ -85,3 +85,71 @@ def unpack_manifest(keys, shapes) -> dict:
 
 def synth_state_dict_from_manifest(keys, shapes) -> dict:
     return {k: synth_array(k, shp) for k, shp in unpack_manifest(keys, shapes).items()}
+
+
+# --------------------------------------------------------------------------
+# Training-trajectory parity fixtures (shared by tools/gen_goldens.py, which
+# runs the reference's torch train loop, and tests/test_trajectory.py, which
+# runs this framework's Trainer on the SAME deterministic batches).
+
+
+def synth_targets(rng, n: int, g_real, g_pad: int, num_classes: int = 21) -> np.ndarray:
+    """Detection GT tensor (N, G_pad, 4+C): normalized center-form boxes +
+    one-hot with void@0 (+1 class shift), zero rows beyond g_real[i] — the
+    collate_fn pad_sequence layout (reference: src/utils.py:8-16)."""
+    gts = np.zeros((n, g_pad, 4 + num_classes), np.float32)
+    for i in range(n):
+        g = int(g_real[i])
+        gts[i, :g, :2] = rng.uniform(0.2, 0.8, (g, 2))
+        gts[i, :g, 2:4] = rng.uniform(0.05, 0.45, (g, 2))
+        gts[i, np.arange(g), 4 + rng.integers(1, num_classes, g)] = 1.0
+    return gts
+
+
+def synth_trajectory_batch(step: int, n: int = 4, imsize: int = 300, g_pad: int = 8,
+                           num_classes: int = 21):
+    """Deterministic (images_nchw f32 in [0,1], targets) pair for train step
+    `step`. Regenerated identically on both sides so the golden stores no
+    image data."""
+    rng = np.random.default_rng(0xBA7C4 + 7919 * step)
+    images = rng.uniform(0.0, 1.0, (n, 3, imsize, imsize)).astype(np.float32)
+    g_real = rng.integers(1, g_pad + 1, n)
+    targets = synth_targets(rng, n, g_real, g_pad, num_classes)
+    return images, targets
+
+
+def flatten_tree(tree, prefix: str = "") -> dict:
+    """Nested dict of arrays -> {'a/b/c': np.ndarray} with sorted paths."""
+    out = {}
+    for k in sorted(tree):
+        v = tree[k]
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def fingerprint_array(path: str, arr: np.ndarray, k: int = 8) -> np.ndarray:
+    """(k+3,) float64 fingerprint: [l2, mean, absmax, proj_0..proj_{k-1}] where
+    proj_j = <flat(arr), v_j> with v_j a fixed unit pseudo-random direction
+    derived from (path, j). A parameter drift of eps moves each projection by
+    O(eps), so pinning fingerprints pins param-space agreement without storing
+    the ~46 MB of trainable tensors."""
+    flat = np.asarray(arr, np.float64).ravel()
+    stats = [np.sqrt(np.dot(flat, flat)), flat.mean(), np.abs(flat).max()]
+    for j in range(k):
+        rng = np.random.default_rng(zlib.crc32(f"fp:{path}:{j}".encode()) & 0xFFFFFFFF)
+        v = rng.standard_normal(flat.size)
+        stats.append(np.dot(flat, v / np.sqrt(np.dot(v, v))))
+    return np.array(stats, np.float64)
+
+
+def fingerprint_tree(tree: dict, k: int = 8):
+    """(sorted paths array, (n_tensors, k+3) fingerprint matrix) for a nested
+    dict of arrays — the storable form of a full parameter pytree."""
+    flat = flatten_tree(tree)
+    keys = np.array(list(flat.keys()))
+    mat = np.stack([fingerprint_array(p, a, k) for p, a in flat.items()])
+    return keys, mat
