@@ -13,7 +13,13 @@ from object_detection_torch2_tpu.models.ssd import SSD
 from object_detection_torch2_tpu.train import checkpoint as ckpt
 from object_detection_torch2_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache()  # SSD300 compiles take minutes; repeats should not
+
+def enable_cli_caches():
+    """Persistent XLA compile cache — SSD300 compiles take minutes; repeats
+    should not. Called from each CLI's main() (NOT at import time) so library
+    importers of cli.common keep their own jax config (advisor r2)."""
+    enable_compilation_cache()
+
 
 # reference data roots were hardcoded (reference: train.py:43, 50); here they are flags
 DEFAULT_TRAIN_DIRS = ["/work/data/VOCdevkit/VOC2007", "/work/data/VOCdevkit/VOC2012"]
@@ -25,7 +31,10 @@ DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def add_common_args(parser, batch_size_default: int):
     parser.add_argument("--imsize", type=int, default=300)
     parser.add_argument("--batch_size", type=int, default=batch_size_default)
-    parser.add_argument("--num_workers", type=int, default=8)  # accepted for CLI parity; prefetch-based loader
+    parser.add_argument("--num_workers", type=int, default=8,
+                        help="decode worker processes for the raw-VOC path (reference "
+                             "parity default 8, src/train.py:23); the --records_dir fast "
+                             "path is memmap-bound and ignores this")
     parser.add_argument("--result_dir", type=str, default="./result")
     parser.add_argument("--weights", type=str, default="weights.msgpack")
     # TPU-native extensions
@@ -40,6 +49,26 @@ def add_common_args(parser, batch_size_default: int):
         default="batch",
         help="parity default 'batch': the reference never calls .eval() (quirk Q9)",
     )
+
+
+def serving_mesh(args):
+    """Data-parallel mesh for the serving CLIs (inference/evaluate): all local
+    devices by default, capped by --num_devices, reduced to the largest count
+    that divides --batch_size (batches shard evenly; a 1-device mesh is the
+    single-chip case). The reference serves strictly single-device
+    (reference: src/inference.py:42, src/evaluate.py:103)."""
+    import jax
+
+    from object_detection_torch2_tpu.parallel import make_mesh
+
+    avail = len(jax.devices())
+    n = min(args.num_devices or avail, avail)
+    while args.batch_size % n:
+        n -= 1
+    if n < min(args.num_devices or avail, avail):
+        print(f"note: serving on {n} device(s) — batch_size {args.batch_size} "
+              f"does not divide over {args.num_devices or avail}")
+    return make_mesh(n)
 
 
 def build_ssd(args, weights_path: Path):

@@ -45,9 +45,14 @@ def parse_args(argv=None):
 
 
 def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: int,
-                        max_detections: int = 200):
+                        max_detections: int = 200, mesh=None):
     """(variables, images_u8, gts, n_real) -> (detection_matches dict at K rows,
-    n_valid) as one jitted program."""
+    n_valid) as one jitted program.
+
+    mesh: optional data-parallel Mesh — images/GTs shard over the batch axis,
+    variables replicate; the TP-assignment matcher is per-image math, so GSPMD
+    splits it over chips with no collectives (only the BN batch stats reduce
+    globally). Sharded output ≡ single-device (tests/test_parallel.py)."""
     detect = build_detection_pipeline(model, use_batch_stats, imsize, max_detections=max_detections)
 
     @jax.jit
@@ -59,13 +64,31 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
         matches = detection_matches(compact, gts * mask[:, None, None], num_classes=num_classes)
         return matches, n_valid
 
-    return run
+    if mesh is None:
+        return run
+
+    from object_detection_torch2_tpu.parallel import mesh as mesh_lib
+
+    b_shard = mesh_lib.batch_sharding(mesh)
+    r_shard = mesh_lib.replicated_sharding(mesh)
+
+    def run_dp(variables, images_u8, gts, n_real):
+        return run(
+            jax.device_put(variables, r_shard),
+            jax.device_put(images_u8, b_shard),
+            jax.device_put(gts, b_shard),
+            n_real,
+        )
+
+    return run_dp
 
 
 def main(argv=None):
     args = parse_args(argv)
+    common.enable_cli_caches()
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
+    mesh = common.serving_mesh(args)
 
     if args.records_dir:
         dataset = RecordDataset(args.records_dir)
@@ -73,14 +96,15 @@ def main(argv=None):
         dataset = PascalVOCDataset(
             "detection", args.data_dirs or common.DEFAULT_TEST_DIRS, "test.txt", args.imsize
         )
-    loader = DataLoader(dataset, args.batch_size, max_gt=args.max_gt, drop_last=False)
+    loader = DataLoader(dataset, args.batch_size, max_gt=args.max_gt, drop_last=False,
+                        num_workers=args.num_workers)
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
     variables = jax.tree.map(jnp.asarray, variables)
 
     num_classes = len(labelmap)
     run = build_eval_pipeline(
-        model, args.bn_mode == "batch", args.imsize, num_classes, args.max_detections
+        model, args.bn_mode == "batch", args.imsize, num_classes, args.max_detections, mesh=mesh
     )
     acc = APAccumulator(num_classes)
 

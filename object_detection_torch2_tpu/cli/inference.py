@@ -37,8 +37,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    common.enable_cli_caches()
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
+    mesh = common.serving_mesh(args)
 
     if args.records_dir:
         dataset = RecordDataset(args.records_dir)
@@ -46,12 +48,13 @@ def main(argv=None):
         dataset = PascalVOCDataset(
             "detection", args.data_dirs or common.DEFAULT_TEST_DIRS, "test.txt", args.imsize
         )
-    loader = DataLoader(dataset, args.batch_size, max_gt=args.max_gt, drop_last=False)
+    loader = DataLoader(dataset, args.batch_size, max_gt=args.max_gt, drop_last=False,
+                        num_workers=args.num_workers)
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
     variables = jax.tree.map(jax.numpy.asarray, variables)
     run = build_detection_pipeline(
-        model, args.bn_mode == "batch", args.imsize, max_detections=args.max_detections
+        model, args.bn_mode == "batch", args.imsize, max_detections=args.max_detections, mesh=mesh
     )
     palette = hls_palette(len(labelmap) + 1)
 
