@@ -37,7 +37,9 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--purpose", type=str, default="detection")
     parser.add_argument("--epochs", type=int, default=1)
-    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--lr", type=float, default=None,
+                        help="base learning rate (default 0.001). On an orbax resume an "
+                             "EXPLICIT --lr overrides the checkpoint's recorded base_lr")
     parser.add_argument("--weight_decay", type=float, default=0.0005)
     parser.add_argument("--gamma", type=float, default=0.95)
     parser.add_argument("--params", type=str, default="params.json")
@@ -45,9 +47,12 @@ def parse_args(argv=None):
     parser.add_argument("--val_records_dir", type=str, default=None)
     parser.add_argument("--val_aug", choices=["train", "none"], default="train",
                         help="parity default 'train' (quirk Q3: reference gives val the train augs)")
-    parser.add_argument("--train_aug", choices=["train", "none"], default="train",
+    parser.add_argument("--train_aug", choices=["train", "none", "reduced_hue"], default="train",
                         help="'none' disables the random train augmentations (overfit/debug; "
-                             "the reference always augments — tools/overfit_proof.py uses this)")
+                             "the reference always augments — tools/overfit_proof.py uses this); "
+                             "'reduced_hue' keeps all augs but caps the hue jitter at ±0.05 "
+                             "(the reference's 0.5 is a FULL hue rotation, which erases "
+                             "color-identity classes — tools/generalization_proof.py)")
     parser.add_argument("--train_trunk", action="store_true",
                         help="unfreeze the VGG trunk (reference parity freezes it — "
                              "src/model/ssd.py:31-32; use when no pretrained VGG exists)")
@@ -56,10 +61,11 @@ def parse_args(argv=None):
     parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
     parser.add_argument("--steps_per_epoch", type=int, default=None, help="cap steps (debug/bench)")
     parser.add_argument("--save_interval", type=int, default=1,
-                        help="check the save-if-improved condition every N epochs (and always on "
-                             "the last epoch). Default 1 = reference parity (train.py:145-152); "
-                             "raise for short-epoch runs where the checkpoint D2H+write dominates "
-                             "(e.g. tools/overfit_proof.py)")
+                        help="write checkpoints at most every N epochs (and always on the last). "
+                             "Improvement is tracked EVERY epoch; a best epoch between checks "
+                             "triggers a save of the then-current weights at the next check. "
+                             "Default 1 = reference parity (train.py:145-152); raise for "
+                             "short-epoch runs where the checkpoint D2H+write dominates")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host data-parallel training: jax.distributed.initialize() "
                              "(auto-detected on TPU pods), global mesh over all processes' devices, "
@@ -68,10 +74,15 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace for epoch 1")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on NaN/Inf in jitted outputs (torch detect_anomaly equivalent; slow)")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    args.lr_explicit = args.lr is not None
+    if args.lr is None:
+        args.lr = 0.001  # reference default (train.py:20)
+    return args
 
 
-def resolve_resume(params: dict | None, base_lr: float, will_orbax_resume: bool):
+def resolve_resume(params: dict | None, base_lr: float, will_orbax_resume: bool,
+                   lr_explicit: bool = False):
     """(min_loss, schedule_base_lr, start_epoch) for the resume surface.
 
     Reference semantics (train.py:85-95, quirk Q7): params.json re-seeds a
@@ -80,18 +91,33 @@ def resolve_resume(params: dict | None, base_lr: float, will_orbax_resume: bool)
     already carries the decay, so the schedule must be seeded from the
     ORIGINAL base lr — otherwise lr = base * gamma^2k (advisor r1, medium).
     That base comes from params.json's `base_lr` extension field when present
-    (so resuming without re-passing --lr keeps the original schedule); args.lr
-    is the fallback for checkpoints written before the field existed."""
+    (so resuming without re-passing --lr keeps the original schedule); an
+    EXPLICITLY passed --lr takes precedence over the recorded base (a user
+    deliberately changing the rate on resume must get the new schedule —
+    advisor r2), and args.lr is the fallback for checkpoints written before
+    the field existed."""
     if params is None:
         return None, base_lr, 0
     if will_orbax_resume:
-        lr = params.get("base_lr", base_lr)
-        if "base_lr" not in params and params["lr"] != base_lr:
-            print(f"warning: orbax resume without a recorded base_lr — seeding the "
-                  f"schedule from --lr {base_lr} (params.json holds decayed lr {params['lr']})")
+        if lr_explicit and params.get("base_lr") not in (None, base_lr):
+            print(f"note: --lr {base_lr} overrides the checkpoint's recorded "
+                  f"base_lr {params['base_lr']} (explicit flag wins on resume)")
+            lr = base_lr
+        else:
+            lr = params.get("base_lr", base_lr)
+            if "base_lr" not in params and params["lr"] != base_lr:
+                print(f"warning: orbax resume without a recorded base_lr — seeding the "
+                      f"schedule from --lr {base_lr} (params.json holds decayed lr {params['lr']})")
     else:
         lr = params["lr"]
     return params["min_loss"], lr, params["last_epoch"]
+
+
+def _aug_config(train_aug: str):
+    """--train_aug -> Trainer augment argument: True = reference-parity
+    distributions; dict = overrides forwarded to data.augment.augment_batch;
+    False = ToTensor only."""
+    return {"train": True, "none": False, "reduced_hue": {"hue": 0.05}}[train_aug]
 
 
 def _build_datasets(args):
@@ -108,6 +134,7 @@ def _build_datasets(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    common.enable_cli_caches()
     if args.debug_nans:
         from object_detection_torch2_tpu.utils.profiling import enable_debug_nans
 
@@ -128,8 +155,10 @@ def main(argv=None):
         raise ValueError(f"batch_size {args.batch_size} must divide over {n_dev} devices")
 
     ds_train, ds_val = _build_datasets(args)
-    dl_train = DataLoader(ds_train, args.batch_size, shuffle=True, seed=args.seed, max_gt=args.max_gt, mesh=mesh)
-    dl_val = DataLoader(ds_val, args.batch_size, max_gt=args.max_gt, mesh=mesh) if ds_val else None
+    dl_train = DataLoader(ds_train, args.batch_size, shuffle=True, seed=args.seed, max_gt=args.max_gt,
+                          mesh=mesh, num_workers=args.num_workers)
+    dl_val = (DataLoader(ds_val, args.batch_size, max_gt=args.max_gt, mesh=mesh,
+                         num_workers=args.num_workers) if ds_val else None)
 
     detection = args.purpose == Purpose.DETECTION.value
     if detection:
@@ -140,7 +169,7 @@ def main(argv=None):
             default_boxes=default_boxes(feature_grids_for(args.imsize)),
             mesh=mesh,
             use_batch_stats=args.bn_mode == "batch",
-            augment=args.train_aug == "train",  # jitter/flip/erase fused into the step program
+            augment=_aug_config(args.train_aug),  # jitter/flip/erase fused into the step program
             seed=args.seed,
         )
         # reference parity: the VGG trunk is frozen (src/model/ssd.py:31-32,
@@ -166,7 +195,7 @@ def main(argv=None):
             loss_kind="cross_entropy",
             mesh=mesh,
             use_batch_stats=args.bn_mode == "batch",
-            augment=args.train_aug == "train",
+            augment=_aug_config(args.train_aug),
             seed=args.seed,
         )
         is_trainable = lambda path: True  # noqa: E731  (reference trains all VGG params here)
@@ -176,7 +205,7 @@ def main(argv=None):
     will_orbax_resume = bool(args.orbax_dir) and ckpt.latest_orbax_step(args.orbax_dir) is not None
     if params is not None:
         print("Params loaded.")
-    min_loss, lr, start_epoch = resolve_resume(params, args.lr, will_orbax_resume)
+    min_loss, lr, start_epoch = resolve_resume(params, args.lr, will_orbax_resume, args.lr_explicit)
 
     steps_per_epoch = args.steps_per_epoch or len(dl_train)
     if steps_per_epoch == 0:
@@ -198,8 +227,16 @@ def main(argv=None):
             state = restored
             # params.json (written only on improved epochs at --save_interval
             # cadence) can lag the orbax state, which saves EVERY epoch — the
-            # restored step count is the truth for epoch numbering
-            start_epoch = int(state.step) // steps_per_epoch
+            # restored step count is the truth for epoch numbering. Epochs are
+            # derived with the ORIGINAL run's steps_per_epoch (recorded in
+            # params.json) — resuming with a different --batch_size or
+            # --steps_per_epoch would otherwise mislabel epochs (advisor r2)
+            spe_prev = (params or {}).get("steps_per_epoch", steps_per_epoch)
+            if spe_prev != steps_per_epoch:
+                print(f"warning: steps_per_epoch changed across resume "
+                      f"({spe_prev} -> {steps_per_epoch}): epoch numbering uses the "
+                      f"recorded value; the lr schedule decays at the NEW cadence")
+            start_epoch = int(state.step) // spe_prev
 
     writer = SummaryWriter(log_dir=args.log_dir)
     val_rng = jax.random.PRNGKey(args.seed + 1)
@@ -207,6 +244,7 @@ def main(argv=None):
     from object_detection_torch2_tpu.utils.profiling import ThroughputMeter, maybe_trace
 
     val_loss = 0.0
+    improved_since_save = False
     meter = ThroughputMeter(args.batch_size, n_dev)
     for epoch in range(1 + start_epoch, args.epochs + start_epoch + 1):
         # device-resident loss accumulation: the reference's per-step
@@ -260,13 +298,22 @@ def main(argv=None):
         writer.add_scalar("loss/validation", val_loss, epoch)
         writer.add_scalar("lr", epoch_lr, epoch)
 
-        save_check = (epoch - start_epoch) % args.save_interval == 0 or epoch == args.epochs + start_epoch
-        if save_check and ((min_loss is None) or (running_loss < min_loss)):
+        # min_loss is tracked EVERY epoch; with --save_interval N > 1 a best
+        # epoch between checks still triggers a save at the next check (the
+        # weights saved are the then-current ones — the cadence bounds
+        # checkpoint I/O, not the improvement detection; advisor r2)
+        if (min_loss is None) or (running_loss < min_loss):
             min_loss = running_loss
+            improved_since_save = True
+        save_check = (epoch - start_epoch) % args.save_interval == 0 or epoch == args.epochs + start_epoch
+        if save_check and improved_since_save:
+            improved_since_save = False
             ckpt.save_weights(weights_path, {"params": state.all_params, "batch_stats": state.batch_stats})
             # base_lr = this run's schedule base, so an orbax resume can rebuild
-            # the schedule without the user re-passing --lr
-            ckpt.save_params_json(params_path, running_loss, epoch_lr, epoch, base_lr=lr)
+            # the schedule without the user re-passing --lr; steps_per_epoch
+            # anchors epoch numbering across resumes
+            ckpt.save_params_json(params_path, min_loss, epoch_lr, epoch, base_lr=lr,
+                                  steps_per_epoch=steps_per_epoch)
         if args.orbax_dir:
             ckpt.save_train_state(args.orbax_dir, state)
 

@@ -94,14 +94,19 @@ def adjust_hue(img, delta):
     return hsv_to_rgb(hsv)
 
 
-def _color_jitter_batch(rng, img, do, strength=0.5):
-    """do: (N,) bool per-sample jitter coin. One random op order per batch."""
+def _color_jitter_batch(rng, img, do, strength=0.5, hue=0.5):
+    """do: (N,) bool per-sample jitter coin. One random op order per batch.
+
+    hue: hue-shift half-range in [0, 0.5]. The reference's 0.5 is a FULL hue
+    rotation (torchvision's maximum — any color can become any other), which
+    destroys color-identity classes; 0.05-0.1 is the conventional detection
+    setting and what --train_aug reduced_hue uses."""
     n = img.shape[0]
     k_order, k_b, k_c, k_s, k_h = jax.random.split(rng, 5)
     fb = jax.random.uniform(k_b, (n,), minval=1 - strength, maxval=1 + strength)
     fc = jax.random.uniform(k_c, (n,), minval=1 - strength, maxval=1 + strength)
     fs = jax.random.uniform(k_s, (n,), minval=1 - strength, maxval=1 + strength)
-    dh = jax.random.uniform(k_h, (n,), minval=-strength, maxval=strength)
+    dh = jax.random.uniform(k_h, (n,), minval=-hue, maxval=hue)
     ops = (
         lambda x: adjust_brightness(x, fb),
         lambda x: adjust_contrast(x, fc),
@@ -157,12 +162,14 @@ def _erase_batch(rng, img, p, max_iter):
     return jax.lax.fori_loop(0, max_iter, body, flat).reshape(n, h, w, c)
 
 
-@functools.partial(jax.jit, static_argnames=("p_jitter", "p_flip", "p_erase", "max_iter"))
-def augment_batch(rng, images_u8, gts, p_jitter=0.5, p_flip=0.5, p_erase=0.5, max_iter=3):
+@functools.partial(jax.jit, static_argnames=("p_jitter", "p_flip", "p_erase", "max_iter", "hue"))
+def augment_batch(rng, images_u8, gts, p_jitter=0.5, p_flip=0.5, p_erase=0.5, max_iter=3,
+                  hue=0.5):
     """Batched train-time augmentation on device.
 
     images_u8: (N, H, W, 3) uint8, gts: (N, G, 4+C) or (N, C) -> float32 images
-    in [0,1], gts (cx reflected for flipped detection rows).
+    in [0,1], gts (cx reflected for flipped detection rows). hue: hue-jitter
+    half-range (reference parity 0.5 = full rotation; see _color_jitter_batch).
     """
     n = images_u8.shape[0]
     img = images_u8.astype(jnp.float32) / 255.0
@@ -171,7 +178,7 @@ def augment_batch(rng, images_u8, gts, p_jitter=0.5, p_flip=0.5, p_erase=0.5, ma
     # color jitter with per-sample prob p (reference: random.py:11-13)
     if p_jitter > 0:
         do_jitter = jax.random.uniform(k_jp, (n,)) < p_jitter
-        img = _color_jitter_batch(k_j, img, do_jitter)
+        img = _color_jitter_batch(k_j, img, do_jitter, hue=hue)
 
     # horizontal flip + gt cx reflection (reference: random.py:26-30)
     if p_flip > 0:

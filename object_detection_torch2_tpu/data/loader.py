@@ -34,6 +34,7 @@ class DataLoader:
         mesh=None,
         prefetch: int = 2,
         drop_last: bool = True,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size  # GLOBAL batch size (all processes, all devices)
@@ -45,6 +46,13 @@ class DataLoader:
         self.drop_last = drop_last
         self.epoch = 0
         self._is_records = hasattr(dataset, "batch")
+        # multiprocess decode workers for the raw (non-records) path — the
+        # reference's num_workers concurrency (src/train.py:23). The records
+        # path is memmap-read-bound and needs none. Pool spawns lazily on
+        # first iteration and persists across epochs; capped at one worker
+        # per batch so tiny fixture runs don't pay 8 process spawns.
+        self.num_workers = 0 if self._is_records else max(0, int(num_workers))
+        self._pool = None
         # multi-host DP: every process computes the SAME global index order
         # (shared seed) and loads only its contiguous slice of each global
         # batch; mesh_lib.shard_batch assembles the global array from the
@@ -70,7 +78,8 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _host_batches(self):
+    def _index_batches(self):
+        """Per-batch index arrays (process-local slice in multi-host runs)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -84,12 +93,40 @@ class DataLoader:
             if self._num_procs > 1:
                 per_proc = self.batch_size // self._num_procs
                 idx = idx[self._proc * per_proc : (self._proc + 1) * per_proc]
+            yield idx
+
+    def _ensure_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            from object_detection_torch2_tpu.data.ingest import IngestPool
+
+            self._pool = IngestPool(
+                self.dataset, min(self.num_workers, max(1, len(self))), max_gt=self.max_gt
+            )
+        return self._pool
+
+    def _host_batches(self):
+        if not self._is_records and self._ensure_pool() is not None:
+            yield from self._pool.batches(self._index_batches())
+            return
+        for idx in self._index_batches():
             if self._is_records:
                 images, gts = self.dataset.batch(np.sort(idx))
                 images, gts = np.ascontiguousarray(images), np.ascontiguousarray(gts)
             else:
                 images, gts = collate([self.dataset[int(i)] for i in idx], max_gt=self.max_gt)
             yield images, gts
+
+    def close(self):
+        """Shut down the worker pool (idempotent; also runs at GC)."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def __del__(self):  # best-effort; close() is the explicit surface
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _place(self, batch):
         if self.mesh is not None:

@@ -32,8 +32,13 @@ def pack_voc(
     max_gt: int = 64,
     purpose: str = "detection",
     log_every: int = 1000,
+    num_workers: int = 0,
 ) -> "RecordDataset":
-    """Build packed records from a VOC tree (runs the host decode path once)."""
+    """Build packed records from a VOC tree (runs the host decode path once).
+
+    num_workers > 0 spreads the PIL decode + XML parse over spawned worker
+    processes (data/ingest.py) — the pack is decode-bound, so wall time drops
+    ~linearly with workers."""
     ds = PascalVOCDataset(purpose, data_dirs, data_list_file_name, imsize, transform=None)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -52,9 +57,17 @@ def pack_voc(
             out_dir / "gts.npy", mode="w+", dtype=np.float32, shape=(n, gt_width)
         )
 
+    if num_workers > 0:
+        from object_detection_torch2_tpu.data.ingest import IngestPool
+
+        pool = IngestPool(ds, min(num_workers, n), max_gt=max_gt)
+        samples = pool.samples(range(n))
+    else:
+        pool = None
+        samples = (ds[i] for i in range(n))
+
     seen_max_gt = 0
-    for i in range(n):
-        img, gt = ds[i]
+    for i, (img, gt) in enumerate(samples):
         images[i] = img
         if purpose == "detection":
             g = min(gt.shape[0], max_gt)
@@ -64,6 +77,8 @@ def pack_voc(
             gts[i] = gt
         if log_every and (i + 1) % log_every == 0:
             print(f"packed {i + 1}/{n}")
+    if pool is not None:
+        pool.close()
     images.flush()
     gts.flush()
 

@@ -37,18 +37,23 @@ def load_weights(path) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
-def save_params_json(path, min_loss: float, lr: float, last_epoch: int, base_lr: float | None = None):
+def save_params_json(path, min_loss: float, lr: float, last_epoch: int, base_lr: float | None = None,
+                     steps_per_epoch: int | None = None):
     """Reference params.json semantics (reference: train.py:150-152).
 
-    `base_lr` is a TPU extension the reference file doesn't carry: the
-    UNDECAYED schedule base, so an orbax exact resume can rebuild the schedule
-    without the user re-passing --lr (the reference 'lr' field stores the
-    already-decayed value — quirk Q7). Extra keys don't disturb parity readers."""
+    `base_lr` and `steps_per_epoch` are TPU extensions the reference file
+    doesn't carry: the UNDECAYED schedule base, so an orbax exact resume can
+    rebuild the schedule without the user re-passing --lr (the reference 'lr'
+    field stores the already-decayed value — quirk Q7), and the epoch length,
+    so a resume with a different --batch_size keeps epoch numbering honest.
+    Extra keys don't disturb parity readers."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     record = {"min_loss": float(min_loss), "lr": float(lr), "last_epoch": int(last_epoch)}
     if base_lr is not None:
         record["base_lr"] = float(base_lr)
+    if steps_per_epoch is not None:
+        record["steps_per_epoch"] = int(steps_per_epoch)
     with open(path, "w") as f:
         json.dump(record, f, indent=4)
 

@@ -150,3 +150,31 @@ def test_synth_voc_tree_parses(tmp_path):
     test_ds = PascalVOCDataset("classification", [str(tmp_path)], "test.txt", 100)
     crop, onehot = test_ds[0]
     assert crop.shape == (100, 100, 3) and onehot.shape == (20,)
+
+
+def test_loader_num_workers_equivalence():
+    """Multiprocess decode workers (data/ingest.py — the reference's
+    num_workers concurrency, src/train.py:23) must yield batch-for-batch
+    identical arrays to the in-thread path, in the same order."""
+    ds = PascalVOCDataset("detection", [FIXTURE], "trainval.txt", imsize=96)
+    dl0 = DataLoader(ds, batch_size=2, shuffle=True, seed=3, max_gt=8, num_workers=0)
+    dl2 = DataLoader(ds, batch_size=2, shuffle=True, seed=3, max_gt=8, num_workers=2)
+    try:
+        for (im0, gt0), (im2, gt2) in zip(dl0, dl2, strict=True):
+            np.testing.assert_array_equal(np.asarray(im0), np.asarray(im2))
+            np.testing.assert_array_equal(np.asarray(gt0), np.asarray(gt2))
+        # second epoch reuses the persistent pool (new shuffle order)
+        for (im0, gt0), (im2, gt2) in zip(dl0, dl2, strict=True):
+            np.testing.assert_array_equal(np.asarray(im0), np.asarray(im2))
+    finally:
+        dl2.close()
+
+
+def test_pack_voc_num_workers_equivalence(tmp_path):
+    """pack_voc with decode workers writes byte-identical records."""
+    r0 = pack_voc([FIXTURE], "trainval.txt", tmp_path / "w0", imsize=96, max_gt=8, log_every=0)
+    r2 = pack_voc([FIXTURE], "trainval.txt", tmp_path / "w2", imsize=96, max_gt=8, log_every=0,
+                  num_workers=2)
+    np.testing.assert_array_equal(np.asarray(r0.images), np.asarray(r2.images))
+    np.testing.assert_array_equal(np.asarray(r0.gts), np.asarray(r2.gts))
+    assert r0.meta["seen_max_gt"] == r2.meta["seen_max_gt"]

@@ -58,3 +58,42 @@ def test_random_erasing_zeroes_block():
     out, _ = erase(img, None)
     assert (out == 0).sum() > 0
     assert img.sum() == 32 * 32 * 3  # input untouched (copy semantics)
+
+
+def test_augment_batch_reduced_hue():
+    """The `hue` knob (--train_aug reduced_hue) bounds the device-side hue
+    jitter: with hue=0 the hue channel is untouched (only the other three
+    jitter ops act); the CLI mapping forwards {'hue': 0.05}."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_detection_torch2_tpu.cli.train import _aug_config
+    from object_detection_torch2_tpu.data.augment import augment_batch, rgb_to_hsv
+
+    assert _aug_config("reduced_hue") == {"hue": 0.05}
+    assert _aug_config("train") is True and _aug_config("none") is False
+
+    from object_detection_torch2_tpu.data.augment import adjust_hue
+
+    rng = np.random.default_rng(9)
+    images = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    gts = np.zeros((4, 2, 25), np.float32)
+    base = jnp.asarray(images.astype(np.float32) / 255.0)
+
+    # adjust_hue shifts hue by EXACTLY delta (circularly), nothing else
+    delta = jnp.asarray([0.0, 0.05, -0.05, 0.3], np.float32)
+    shifted = np.asarray(rgb_to_hsv(adjust_hue(base, delta)))[..., 0]
+    expect = (np.asarray(rgb_to_hsv(base))[..., 0] + np.asarray(delta)[:, None, None]) % 1.0
+    sat = np.asarray(rgb_to_hsv(base))[..., 1]
+    d = np.abs(shifted - expect)
+    d = np.minimum(d, 1 - d)[sat > 1e-2]  # hue undefined on gray pixels
+    assert d.max() < 1e-3, d.max()
+
+    # the hue kwarg is plumbed through augment_batch (same key, only hue differs)
+    key = jax.random.PRNGKey(0)
+    out0, g0 = augment_batch(key, jnp.asarray(images), jnp.asarray(gts),
+                             p_jitter=1.0, p_flip=0.0, p_erase=0.0, hue=0.05)
+    out5, _ = augment_batch(key, jnp.asarray(images), jnp.asarray(gts),
+                            p_jitter=1.0, p_flip=0.0, p_erase=0.0, hue=0.5)
+    assert not np.allclose(np.asarray(out0), np.asarray(out5))
+    np.testing.assert_array_equal(np.asarray(g0), gts)  # gts untouched by jitter

@@ -23,7 +23,11 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
+# same persistent compile cache as the CLIs (utils/cache.py default), so this
+# tool warms the cache the CLIs actually read (advisor r2)
+from object_detection_torch2_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 
 def timed(fn, iters, *args):
