@@ -86,6 +86,7 @@ def main():
     log(f"{iters} steps in {dt:.2f}s -> {images_per_sec:.1f} img/s total, {per_chip:.1f} img/s/chip")
 
     vs_baseline = None
+    band = None
     baseline_path = Path(__file__).parent / "bench_baseline.json"
     if baseline_path.exists():
         with open(baseline_path) as f:
@@ -93,6 +94,11 @@ def main():
         ref = base.get("a100_estimate_images_per_sec") or base.get("torch_cpu_images_per_sec")
         if ref:
             vs_baseline = per_chip / ref
+        # the A100 figure is an ESTIMATE with a stated uncertainty band
+        # (BASELINE.md derivation); carry the band, not just the center
+        rng = base.get("a100_estimate_range_images_per_sec")
+        if rng:
+            band = [round(per_chip / rng[1], 2), round(per_chip / rng[0], 2)]
 
     print(
         json.dumps(
@@ -101,6 +107,9 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "vs_baseline_band": band,
+                "baseline_note": "vs an ANALYTICAL A100 roofline estimate (839 img/s, band 582-1097; BASELINE.md)"
+                                 if band else None,
             }
         )
     )
