@@ -136,6 +136,11 @@ class SSD(nn.Module):
     # conv_2_2 at 98%). Same math (see pair_conv_weights), same params/stats
     # layout, ulp-level reassociation drift only. Auto-disabled for odd sizes.
     paired_block1: bool = True
+    # conv_1_2 via the Pallas 4-tap kernel (ops/conv12_pallas.py): 4/3 of the
+    # dense FLOPs instead of the XLA block-sparse form's 2x, all K=128 MXU
+    # dots. None = auto (TPU backend and a supported H only); the XLA paired
+    # conv is the fallback everywhere else. Same math, same param layout.
+    conv12_kernel: bool | None = None
 
     def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
                       batch_mask=None):
@@ -165,15 +170,24 @@ class SSD(nn.Module):
         their standard shapes/paths (checkpoint-identical to the plain path);
         only the compute layout differs. pool_1 (2x2/2 'M') is the max over the
         h-pair and the two x phases."""
+        from object_detection_torch2_tpu.ops.conv12_pallas import conv12_paired, pick_tile_h
+
         n, h, w, c = x.shape
         xp = x.reshape(n, h, w // 2, 2 * c)
+        use_kernel = self.conv12_kernel
+        if use_kernel is None:  # auto: TPU backend, supported tiling
+            use_kernel = (jax.default_backend() == "tpu"
+                          and pick_tile_h(h, w // 2) is not None)
         for sub, cin, cout in ((1, 3, 64), (2, 64, 64)):
             kernel, bias = _ConvParams((3, 3, cin, cout), self.param_dtype, name=f"conv_1_{sub}")()
-            wp = pair_conv_weights(kernel).astype(self.dtype)
-            xp = jax.lax.conv_general_dilated(
-                xp.astype(self.dtype), wp, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=self.precision,
-            ) + jnp.tile(bias, 2).astype(self.dtype)
+            if sub == 2 and use_kernel:
+                xp = conv12_paired(xp.astype(self.dtype), kernel, bias).astype(self.dtype)
+            else:
+                wp = pair_conv_weights(kernel).astype(self.dtype)
+                xp = jax.lax.conv_general_dilated(
+                    xp.astype(self.dtype), wp, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=self.precision,
+                ) + jnp.tile(bias, 2).astype(self.dtype)
             xp = BatchNormTPU(
                 use_running_average=not use_batch_stats, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, fold=2, name=f"bn_1_{sub}",
