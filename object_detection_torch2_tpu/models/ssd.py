@@ -138,8 +138,11 @@ class SSD(nn.Module):
     paired_block1: bool = True
     # conv_1_2 via the Pallas 4-tap kernel (ops/conv12_pallas.py): 4/3 of the
     # dense FLOPs instead of the XLA block-sparse form's 2x, all K=128 MXU
-    # dots. None = auto (TPU backend and a supported H only); the XLA paired
-    # conv is the fallback everywhere else. Same math, same param layout.
+    # dots. Measured on v5e (tools/bench_conv12.py, bs32 bf16): XLA paired
+    # 3.35 ms vs kernel 10.9 ms — the 6-dot form pays ~13 VMEM traversals of
+    # the f32 accumulator, which swamps the FLOP saving, so the XLA paired
+    # conv stays the production default. None = auto = currently OFF
+    # everywhere (flip to True to force; CPU tests force it with interpret).
     conv12_kernel: bool | None = None
 
     def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
@@ -175,9 +178,13 @@ class SSD(nn.Module):
         n, h, w, c = x.shape
         xp = x.reshape(n, h, w // 2, 2 * c)
         use_kernel = self.conv12_kernel
-        if use_kernel is None:  # auto: TPU backend, supported tiling
-            use_kernel = (jax.default_backend() == "tpu"
-                          and pick_tile_h(h, w // 2) is not None)
+        if use_kernel is None:
+            # auto = OFF: the kernel measured 3.2x SLOWER than the XLA paired
+            # conv (see the conv12_kernel field note); kept as an explicit
+            # opt-in until a formulation beats XLA
+            use_kernel = False
+        if use_kernel and pick_tile_h(h, w // 2) is None:
+            use_kernel = False
         for sub, cin, cout in ((1, 3, 64), (2, 64, 64)):
             kernel, bias = _ConvParams((3, 3, cin, cout), self.param_dtype, name=f"conv_1_{sub}")()
             if sub == 2 and use_kernel:

@@ -22,17 +22,33 @@ half-zero one:
 
 Total 6 dots, all K=128/N=128 (full systolic array), FLOPs = 4/3 of the dense
 conv (vs 2x for the block-sparse XLA form); the only data movement beyond the
-input tile itself is ONE same-size shifted copy (`edge`), vs the 2x-halo
-im2col a patch-matrix formulation would materialize.
+input tile itself is ONE same-size DMA-assembled operand (`edge`), vs the
+2x-halo im2col a patch-matrix formulation would materialize.
 
-The grid is (N, H/TILE_H); the ky halo (±1 row) comes from a host-side
-jnp.pad to H+2 rows plus a manual double-buffered HBM->VMEM DMA of
-(TILE_H+2)-row slices — BlockSpec partitions cannot overlap, DMA slices can.
+The grid is (N, H/TILE_H); halos come from a host-side jnp.pad (H: the ky
+halo; W: the conv's pad-1 columns) plus manual double-buffered HBM->VMEM DMAs
+of (TILE_H+2)-row windows — BlockSpec partitions cannot overlap, DMA slices
+can, and DMAs (unlike vector-lane concats) tolerate arbitrary slice offsets.
 
 Gradients: `conv12_paired` carries a custom VJP that delegates the backward
 to the XLA block-sparse formulation (exact same math), so `--train_trunk`
 still works; in the flagship frozen-trunk recipe block 1 has no grad path and
 the VJP is never invoked.
+
+VERDICT (measured, tools/bench_conv12.py, v5e bs32 bf16): XLA paired conv
+3.35 ms (127 actual TFLOP/s = 64% MFU on its 2x FLOPs) vs this kernel
+10.9 ms — the kernel LOSES 3.2x and is therefore an opt-in
+(SSD.conv12_kernel), not the default. Why, and why no rewrite closes the gap:
+the 6 K=128 dots accumulate into a 2.3 MB f32 VMEM buffer (~13 traversals
+x 320 tiles ≈ 10 GB of VMEM traffic per step); folding the ky/tap taps into
+one K=768 dot instead requires materializing an im2col patch matrix (3x input
+amplification, ≈ 4.5 GB VMEM traffic) — both formulations are VMEM-bound at
+3-6 ms. XLA's conv wins because its implicit im2col feeds windows to the MXU
+without materializing them, which Mosaic does not expose at the jnp level.
+This is the second Pallas-vs-XLA attempt with the same outcome (NMS, round 2:
+XLA lowers cross-suppression to fused MXU einsums, 100x faster); conclusion:
+for dense, regular ops on this model, XLA's codegen is the speed of light and
+kernel effort belongs elsewhere (e.g. the loss/augment tail).
 """
 
 from __future__ import annotations
@@ -50,10 +66,12 @@ _INTERPRET = False
 
 
 def pick_tile_h(h: int, wp: int, cap: int = 32) -> int | None:
-    """Largest row-tile <= cap that divides h with (tile*wp) a sublane multiple;
+    """Largest row-tile <= cap that divides h with tile*W_pad a bf16-sublane
+    multiple (W is padded to 8 for HBM-tiling-aligned DMA extents);
     None -> shape unsupported, callers fall back to the XLA formulation."""
+    wpad = -(-wp // 8) * 8
     for tile in range(min(cap, h), 1, -1):
-        if h % tile == 0 and (tile * wp) % 8 == 0:
+        if h % tile == 0 and (tile * wpad) % 16 == 0:
             return tile
     return None
 
@@ -82,39 +100,47 @@ def pack_conv12_weights(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return wc, we
 
 
-def _kernel(x_hbm, wc_ref, we_ref, b_ref, out_ref, rows, sems):
+def _kernel(xc_hbm, xe_hbm, wc_ref, we_ref, b_ref, out_ref, rows, edge, sems):
+    """Both dot operands arrive pre-assembled from host XLA (a fused
+    pad+slice+concat producing `xc` = center cells and `xe` = the
+    [j-1 phase-1 | j+1 phase-0] edge windows): vector-lane ops cannot
+    concatenate offset-misaligned slices and HBM memref slices must respect
+    the (8,128) tiling of the minor dims, so the only in-kernel slicing is the
+    halo'd ROW window — an untiled outer dim, where any offset is legal. Two
+    double-buffered DMAs per tile."""
     n, t = pl.program_id(0), pl.program_id(1)
-    th2, wp, c2 = rows.shape[1], rows.shape[2], rows.shape[3]
+    th2 = rows.shape[1]
+    wp, c2 = rows.shape[2], rows.shape[3]
     tile_h = th2 - 2
-    c = c2 // 2
 
-    # double-buffered halo'd row DMA: tile t needs padded rows [t*TILE_H, +TILE_H+2)
-    def dma(slot, tile):
-        return pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(tile * tile_h, th2)], rows.at[slot], sems.at[slot]
+    def dmas(slot, tile):
+        return (
+            pltpu.make_async_copy(xc_hbm.at[n, pl.ds(tile * tile_h, th2)],
+                                  rows.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(xe_hbm.at[n, pl.ds(tile * tile_h, th2)],
+                                  edge.at[slot], sems.at[slot, 1]),
         )
 
     slot = jax.lax.rem(t, 2)
 
     @pl.when(t == 0)
     def _():
-        dma(slot, t).start()
+        for d in dmas(slot, t):
+            d.start()
 
     @pl.when(t + 1 < pl.num_programs(1))
     def _():
-        dma(1 - slot, t + 1).start()
+        for d in dmas(1 - slot, t + 1):
+            d.start()
 
-    dma(slot, t).wait()
-    r = rows[slot]  # (TILE_H+2, Wp, 2C)
+    for d in dmas(slot, t):
+        d.wait()
+    r = rows[slot]  # (TILE_H+2, Wpad, 2C) center cells
+    e = edge[slot]  # (TILE_H+2, Wpad, 2C) [j-1 phase-1 | j+1 phase-0]
 
-    # edge operand: [cell j-1 phase-1 slice | cell j+1 phase-0 slice],
-    # zero-filled at the w boundary (= the conv's pad-1 columns)
-    zeros = jnp.zeros((th2, 1, c), r.dtype)
-    left = jnp.concatenate([zeros, r[:, :-1, c:]], axis=1)
-    right = jnp.concatenate([r[:, 1:, :c], zeros], axis=1)
-    e = jnp.concatenate([left, right], axis=-1)  # (TILE_H+2, Wp, 2C)
-
-    m = tile_h * wp
+    wpad = rows.shape[2]
+    wp = out_ref.shape[2]
+    m = tile_h * wpad
     acc = jnp.zeros((m, c2), jnp.float32)
     for ky in range(3):
         acc += jnp.dot(r[ky:ky + tile_h].reshape(m, c2), wc_ref[ky],
@@ -122,7 +148,8 @@ def _kernel(x_hbm, wc_ref, we_ref, b_ref, out_ref, rows, sems):
         acc += jnp.dot(e[ky:ky + tile_h].reshape(m, c2), we_ref[ky],
                        preferred_element_type=jnp.float32)
     acc += b_ref[:].astype(jnp.float32)
-    out_ref[:] = acc.reshape(1, tile_h, wp, c2).astype(out_ref.dtype)
+    # the W pad columns (zero inputs -> bias outputs) are sliced away at store
+    out_ref[:] = acc.reshape(1, tile_h, wpad, c2)[:, :, :wp].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
@@ -133,14 +160,29 @@ def _conv12_pallas(xp: jax.Array, w: jax.Array, b: jax.Array, tile_h: int,
     wc, we = pack_conv12_weights(w)
     wc, we = wc.astype(xp.dtype), we.astype(xp.dtype)
     bias2 = jnp.tile(b, 2).astype(jnp.float32).reshape(1, c2)
-    xpad = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0)))  # ky halo rows
+    c = c2 // 2
+    # host-side (XLA-fused) window prep: ky-halo rows via pad; edge operand =
+    # [cell j-1 phase-1 | cell j+1 phase-0] with the conv's pad-1 w columns as
+    # real zeros. One extra input-sized HBM array (~30us of bandwidth at bs32)
+    # buys a kernel whose only dynamic slicing is on the untiled row dim.
+    wpad = -(-wp // 8) * 8  # HBM tiles W in 8s: DMA extents must be 8-aligned
+    xc = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    zcol = jnp.zeros((n, h + 2, 1, c), xp.dtype)
+    xe = jnp.concatenate([
+        jnp.concatenate([zcol, xc[:, :, :-1, c:]], axis=2),
+        jnp.concatenate([xc[:, :, 1:, :c], zcol], axis=2),
+    ], axis=-1)
+    if wpad != wp:
+        xc = jnp.pad(xc, ((0, 0), (0, 0), (0, wpad - wp), (0, 0)))
+        xe = jnp.pad(xe, ((0, 0), (0, 0), (0, wpad - wp), (0, 0)))
 
     grid = (n, h // tile_h)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded input, DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xc: full padded input, DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xe: edge windows, DMA'd manually
             pl.BlockSpec((3, c2, c2), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, c2, c2), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c2), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
@@ -149,8 +191,9 @@ def _conv12_pallas(xp: jax.Array, w: jax.Array, b: jax.Array, tile_h: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wp, c2), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, wp, c2), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, tile_h + 2, wpad, c2), xp.dtype),  # center cells
+            pltpu.VMEM((2, tile_h + 2, wpad, c2), xp.dtype),  # edge operand
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=12 * n * h * wp * c2 * c2,
@@ -158,7 +201,7 @@ def _conv12_pallas(xp: jax.Array, w: jax.Array, b: jax.Array, tile_h: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xpad, wc, we, bias2)
+    )(xc, xe, wc, we, bias2)
 
 
 def _xla_paired(xp: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:

@@ -32,9 +32,9 @@ def _case(n=2, h=60, wp=8, c=8, seed=0):
 
 
 def test_pick_tile_h():
-    # the SSD300 shape: 15 tiles of 20 rows (30 would give M=4500, not a
-    # sublane multiple)
-    assert pick_tile_h(300, 150) == 20
+    # the SSD300 shape: 10 tiles of 30 rows (W padded 150->152 for
+    # tiling-aligned DMA extents, so M=30*152 is sublane-clean)
+    assert pick_tile_h(300, 150) == 30
     assert pick_tile_h(60, 8) == 30
     assert pick_tile_h(7, 3) is None  # no admissible tile -> XLA fallback
 

