@@ -1,0 +1,186 @@
+"""Decompose the SSD300 train step: where do the 21.9 ms (bs32 bf16) go?
+
+Times each stage as a standalone jitted program with tunnel-proof accounting:
+programs are dispatched k and 2k times (a TPU core executes queued programs
+sequentially, so wall-clock differencing cancels dispatch/fetch constants) and
+completion is forced by a scalar fetch of the LAST result (block_until_ready
+through the remote runtime does not reliably block — round-2 lesson).
+
+Stages:
+  augment      device augmentation (jitter/flip/erase) on the uint8 batch
+  forward      SSD forward, train-mode batch-stats BN
+  fwd+loss     + MultiBox loss
+  fwd+bwd      value_and_grad over the trainable subtree
+  train_step   the full production step (augment+fwd+loss+bwd+Adam+BN update)
+  sort_pair    the two (N,8732) descending sorts of hard-negative mining alone
+  loss_only    MultiBox loss on precomputed outputs
+
+Usage: python tools/bench_step_breakdown.py [--batch_size 32] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from object_detection_torch2_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+def timed(run_k, iters):
+    """run_k(k) must dispatch k sequential programs and fetch a scalar."""
+    run_k(2)  # compile + warm
+    t1 = min(run_k(iters) for _ in range(3))
+    t2 = min(run_k(2 * iters) for _ in range(3))
+    return (t2 - t1) / iters * 1000.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from object_detection_torch2_tpu.core.anchors import default_boxes
+    from object_detection_torch2_tpu.core.multibox import multibox_loss
+    from object_detection_torch2_tpu.data.augment import augment_batch
+    from object_detection_torch2_tpu.models.ssd import SSD
+    from object_detection_torch2_tpu.train import Trainer, adam_torch, exponential_epoch_schedule
+    from object_detection_torch2_tpu.train.state import merge_params
+
+    n = args.batch_size
+    dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    images_u8 = jnp.asarray(rng.integers(0, 255, (n, 300, 300, 3)), jnp.uint8)
+    targets = np.zeros((n, 64, 25), np.float32)
+    for i in range(n):
+        g = rng.integers(1, 6)
+        targets[i, :g, :2] = rng.uniform(0.2, 0.8, (g, 2))
+        targets[i, :g, 2:4] = rng.uniform(0.1, 0.4, (g, 2))
+        targets[i, np.arange(g), 4 + rng.integers(1, 21, g)] = 1.0
+    targets = jnp.asarray(targets)
+    df = jnp.asarray(default_boxes())
+
+    model = SSD(num_classes=21, dtype=dtype)
+    trainer = Trainer(model, loss_kind="multibox", default_boxes=df, augment=True)
+    tx = adam_torch(exponential_epoch_schedule(1e-3, 0.95, 518), weight_decay=5e-4)
+    state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), tx)
+    images_f = (images_u8.astype(dtype) / 255.0).astype(dtype)
+
+    results = {}
+
+    # --- full train step (state chains through the loop)
+    def run_train(k):
+        s = state
+        t0 = time.time()
+        loss = None
+        for _ in range(k):
+            s, loss = trainer.train_step(s, images_u8, targets)
+        assert np.isfinite(float(loss))
+        return time.time() - t0
+
+    results["train_step"] = timed(run_train, args.iters)
+
+    # --- augmentation only
+    @jax.jit
+    def aug(key, img, tg):
+        im, tg2 = augment_batch(key, img, tg)
+        return im[0, 0, 0, 0] + tg2[0, 0, 0]
+
+    def run_aug(k):
+        t0 = time.time()
+        v = None
+        for i in range(k):
+            v = aug(jax.random.PRNGKey(i), images_u8, targets)
+        assert np.isfinite(float(v))
+        return time.time() - t0
+
+    results["augment"] = timed(run_aug, args.iters)
+
+    # --- forward / fwd+loss / fwd+bwd on pre-augmented floats
+    variables = {"params": state.all_params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def fwd(variables, x):
+        out, _ = model.apply(variables, x, train=True, use_batch_stats=True,
+                             mutable=["batch_stats"])
+        return out
+
+    @jax.jit
+    def fwd_loss(variables, x, tg):
+        out, _ = model.apply(variables, x, train=True, use_batch_stats=True,
+                             mutable=["batch_stats"])
+        return multibox_loss(out, tg, df)
+
+    @jax.jit
+    def fwd_bwd(params, frozen, bs, x, tg):
+        def loss_fn(p):
+            out, _ = model.apply({"params": merge_params(p, frozen), "batch_stats": bs},
+                                 x, train=True, use_batch_stats=True, mutable=["batch_stats"])
+            return multibox_loss(out, tg, df)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss + jax.tree_util.tree_reduce(
+            lambda a, b: a + b.sum().astype(jnp.float32), grads, jnp.float32(0)) * 1e-12
+
+    def looper(fn, *fargs):
+        def run(k):
+            t0 = time.time()
+            v = None
+            for _ in range(k):
+                v = fn(*fargs)
+            out = v if v.ndim == 0 else v[0, 0, 0]
+            assert np.isfinite(float(out))
+            return time.time() - t0
+
+        return run
+
+    results["forward"] = timed(looper(fwd, variables, images_f), args.iters)
+    results["fwd_loss"] = timed(looper(fwd_loss, variables, images_f, targets), args.iters)
+    results["fwd_bwd"] = timed(
+        looper(fwd_bwd, state.params, state.frozen, state.batch_stats, images_f, targets),
+        args.iters)
+
+    # --- loss on precomputed outputs, and the mining sorts alone
+    outputs = fwd(variables, images_f)
+
+    @jax.jit
+    def loss_only(out, tg):
+        return multibox_loss(out, tg, df)
+
+    @jax.jit
+    def sort_pair(a, b):
+        sa = -jnp.sort(-a, axis=-1)
+        sb = -jnp.sort(-b, axis=-1)
+        return sa[0, 0] + sb[0, 0]
+
+    conf = jnp.asarray(rng.standard_normal((n, 8732)), jnp.float32)
+    conf2 = jnp.asarray(rng.standard_normal((n, 8732)), jnp.float32)
+    results["loss_only"] = timed(looper(loss_only, outputs, targets), args.iters)
+    results["sort_pair"] = timed(looper(sort_pair, conf, conf2), args.iters)
+
+    results = {k: round(v, 3) for k, v in results.items()}
+    results["derived"] = {
+        "bwd_only": round(results["fwd_bwd"] - results["fwd_loss"], 3),
+        "loss_in_graph": round(results["fwd_loss"] - results["forward"], 3),
+        "adam_bn_misc": round(results["train_step"] - results["fwd_bwd"] - results["augment"], 3),
+        "img_per_s": round(n / results["train_step"] * 1000.0, 1),
+    }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
