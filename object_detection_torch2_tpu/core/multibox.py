@@ -30,16 +30,38 @@ from object_detection_torch2_tpu.core import boxes as B
 def kth_plus_one_threshold(x: jax.Array, k: jax.Array) -> jax.Array:
     """Per-row (k+1)-th largest value of x; k == 0 gives the row max.
 
-    x: (N, P), k: (N,) int -> (N,).
+    x: (N, P) float32, k: (N,) int -> (N,).
 
     Matches `SSD._k_plus_1_th_value` (reference: src/model/ssd.py:313-328):
     `torch.kthvalue(x, len(x)-k)` is the (k+1)-th largest, and the k == 0 branch
-    returns the max — which equals the descending-sorted value at index 0, so a
-    single gather at index k covers both branches.
-    """
-    sorted_desc = -jnp.sort(-x, axis=-1)
-    k = jnp.clip(k, 0, x.shape[-1] - 1)
-    return jnp.take_along_axis(sorted_desc, k[:, None], axis=-1)[:, 0]
+    returns the max — which equals the descending-sorted value at index 0.
+
+    Implemented as an exact RADIX SELECT instead of a full sort: floats map to
+    order-isomorphic uint32 keys (sign-magnitude -> two's-complement trick),
+    then 32 bit-descent rounds each keep the highest threshold T with
+    count(key >= T) >= k+1 — which lands EXACTLY on the (k+1)-th largest key,
+    ties included (count(key >= v) >= k+1 and count(key >= v+1) <= k). Each
+    round is one broadcast compare + row-sum over the VMEM-resident (N, P)
+    block, so the whole selection is bandwidth-trivial where a full
+    jnp.sort of (N, 8732) pays O(log^2 P) bitonic passes on TPU. Bitwise-equal
+    to the sort+gather formulation (pinned by test_multibox.py)."""
+    p = x.shape[-1]
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    key = jnp.where(
+        (bits >> 31) == 0,
+        bits ^ jnp.uint32(0x80000000),  # non-negative: set the high bit
+        ~bits,  # negative: flip everything (reverses their order)
+    )
+    target = (jnp.clip(k, 0, p - 1) + 1).astype(jnp.uint32)  # rank to match
+
+    def body(i, t):
+        cand = t | (jnp.uint32(1) << (31 - i))
+        cnt = (key >= cand[:, None]).sum(-1).astype(jnp.uint32)
+        return jnp.where(cnt >= target, cand, t)
+
+    t = jax.lax.fori_loop(0, 32, body, jnp.zeros(x.shape[:-1], jnp.uint32))
+    out_bits = jnp.where((t >> 31) == 1, t ^ jnp.uint32(0x80000000), ~t)
+    return jax.lax.bitcast_convert_type(out_bits, jnp.float32)
 
 
 def split_pos_neg(pos_num: jax.Array, neg_num: jax.Array) -> tuple[jax.Array, jax.Array]:

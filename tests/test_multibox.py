@@ -39,3 +39,32 @@ def test_loss_gradients_finite(goldens):
     df = jnp.asarray(anchors.default_boxes())
     grad = jax.grad(multibox_loss)(jnp.asarray(g["outputs"]), jnp.asarray(g["targets"]), df)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_kth_threshold_radix_select_equals_sort():
+    """The radix-select kth_plus_one_threshold must be BITWISE equal to the
+    sort+gather formulation on adversarial inputs: duplicates, negatives,
+    zeros (+/-0 keys), denormal-scale values, and all k edges."""
+    import jax.numpy as jnp
+
+    from object_detection_torch2_tpu.core.multibox import kth_plus_one_threshold
+
+    def sort_ref(x, k):
+        sorted_desc = -np.sort(-x, axis=-1)
+        kk = np.clip(k, 0, x.shape[-1] - 1)
+        return np.take_along_axis(sorted_desc, kk[:, None], axis=-1)[:, 0]
+
+    rng = np.random.default_rng(5)
+    n, p = 7, 513
+    cases = []
+    x = rng.standard_normal((n, p)).astype(np.float32) * 10
+    cases.append(x)
+    xd = rng.choice(np.float32([-2.5, -1.0, -0.0, 0.0, 1e-30, 3.75, 3.75, 100.0]), (n, p))
+    cases.append(xd.astype(np.float32))
+    cases.append(np.zeros((n, p), np.float32))
+    for x in cases:
+        for k in (np.zeros(n, np.int64), np.full(n, 1), np.full(n, p - 1),
+                  np.full(n, p + 50), rng.integers(0, p, n)):
+            got = np.asarray(kth_plus_one_threshold(jnp.asarray(x), jnp.asarray(k)))
+            want = sort_ref(x, np.asarray(k))
+            np.testing.assert_array_equal(got, want, err_msg=f"k={k[:3]}")
