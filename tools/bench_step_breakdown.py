@@ -58,6 +58,7 @@ def main():
     from object_detection_torch2_tpu.core.multibox import multibox_loss
     from object_detection_torch2_tpu.data.augment import augment_batch
     from object_detection_torch2_tpu.models.ssd import SSD
+    from object_detection_torch2_tpu.parallel import make_mesh, shard_batch
     from object_detection_torch2_tpu.train import Trainer, adam_torch, exponential_epoch_schedule
     from object_detection_torch2_tpu.train.state import merge_params
 
@@ -74,23 +75,45 @@ def main():
     targets = jnp.asarray(targets)
     df = jnp.asarray(default_boxes())
 
+    # the mesh path is the production configuration (bench.py); the no-mesh
+    # plain-jit train step is also the one that trips a flaky INVALID_ARGUMENT
+    # in the remote runtime under deep async queues (sync-per-step runs fine)
+    mesh = make_mesh()
     model = SSD(num_classes=21, dtype=dtype)
-    trainer = Trainer(model, loss_kind="multibox", default_boxes=df, augment=True)
+    trainer = Trainer(model, loss_kind="multibox", default_boxes=df, mesh=mesh, augment=True)
     tx = adam_torch(exponential_epoch_schedule(1e-3, 0.95, 518), weight_decay=5e-4)
     state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), tx)
+    images_u8, targets = shard_batch(mesh, (images_u8, targets))
     images_f = (images_u8.astype(dtype) / 255.0).astype(dtype)
 
     results = {}
 
-    # --- full train step (state chains through the loop)
+    # --- full train step. train_step DONATES the state, so each call consumes
+    # its input buffers: the state must chain across run_k calls (reusing the
+    # original `state` after the first run would execute on deleted buffers —
+    # the remote runtime reports that as a bare INVALID_ARGUMENT).
+    holder = {"state": state}
+
     def run_train(k):
-        s = state
+        s = holder["state"]
         t0 = time.time()
         loss = None
         for _ in range(k):
             s, loss = trainer.train_step(s, images_u8, targets)
         assert np.isfinite(float(loss))
+        holder["state"] = s
         return time.time() - t0
+
+    # snapshot the variables BEFORE the train stage consumes the initial state
+    variables = {
+        "params": jax.tree.map(jnp.copy, state.all_params),
+        "batch_stats": jax.tree.map(jnp.copy, state.batch_stats),
+    }
+    fwd_args = (
+        jax.tree.map(jnp.copy, state.params),
+        jax.tree.map(jnp.copy, state.frozen),
+        jax.tree.map(jnp.copy, state.batch_stats),
+    )
 
     results["train_step"] = timed(run_train, args.iters)
 
@@ -111,8 +134,6 @@ def main():
     results["augment"] = timed(run_aug, args.iters)
 
     # --- forward / fwd+loss / fwd+bwd on pre-augmented floats
-    variables = {"params": state.all_params, "batch_stats": state.batch_stats}
-
     @jax.jit
     def fwd(variables, x):
         out, _ = model.apply(variables, x, train=True, use_batch_stats=True,
@@ -150,9 +171,7 @@ def main():
 
     results["forward"] = timed(looper(fwd, variables, images_f), args.iters)
     results["fwd_loss"] = timed(looper(fwd_loss, variables, images_f, targets), args.iters)
-    results["fwd_bwd"] = timed(
-        looper(fwd_bwd, state.params, state.frozen, state.batch_stats, images_f, targets),
-        args.iters)
+    results["fwd_bwd"] = timed(looper(fwd_bwd, *fwd_args, images_f, targets), args.iters)
 
     # --- loss on precomputed outputs, and the mining sorts alone
     outputs = fwd(variables, images_f)
