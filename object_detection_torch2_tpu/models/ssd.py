@@ -113,6 +113,50 @@ def pair_conv_weights(w: jax.Array) -> jax.Array:
     return wp
 
 
+def stagger_conv12_weights(w: jax.Array) -> jax.Array:
+    """Rewrite a stride-1 pad-1 3x3 kernel (3,3,cin,cout) into the STAGGERED
+    4-tap form (3,2,2*cin,2*cout) over the paired-x layout.
+
+    pair_conv_weights' window must cover both output phases' taps at the same
+    pair index, which forces a width-3 pair window where HALF the kernel is
+    structural zeros (2x FLOPs). The stagger instead assigns output half A the
+    even-phase result of pair j and output half B the ODD-phase result of pair
+    j-1 — both consume exactly the window (P_{j-1}, P_j), so a width-2 pair
+    window suffices and only 2 of 8 tap-blocks are zero: 4/3 of the dense
+    FLOPs, still full 128-lane tiles, native XLA conv codegen. The
+    one-pair-offset halves are realigned by two slices of a (W/2+1)-wide
+    result (see conv12_staggered), which XLA fuses into the consumer."""
+    _, _, cin, cout = w.shape
+    w4 = jnp.zeros((3, 2, 2 * cin, 2 * cout), w.dtype)
+    # half A: y_{2j} = K[-1] x_{2j-1} + K[0] x_{2j} + K[+1] x_{2j+1}
+    w4 = w4.at[:, 0, cin:, :cout].set(w[:, 0])  # x_{2j-1} = P_{j-1}.odd
+    w4 = w4.at[:, 1, :cin, :cout].set(w[:, 1])  # x_{2j}   = P_j.even
+    w4 = w4.at[:, 1, cin:, :cout].set(w[:, 2])  # x_{2j+1} = P_j.odd
+    # half B: y_{2j-1} = K[-1] x_{2j-2} + K[0] x_{2j-1} + K[+1] x_{2j}
+    w4 = w4.at[:, 0, :cin, cout:].set(w[:, 0])  # x_{2j-2} = P_{j-1}.even
+    w4 = w4.at[:, 0, cin:, cout:].set(w[:, 1])  # x_{2j-1} = P_{j-1}.odd
+    w4 = w4.at[:, 1, :cin, cout:].set(w[:, 2])  # x_{2j}   = P_j.even
+    return w4
+
+
+def conv12_staggered(xp: jax.Array, w: jax.Array, b: jax.Array,
+                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """conv_1_2 on the paired-x layout via the staggered 4-tap kernel: one
+    (1,1)-padded VALID-width conv producing W/2+1 pair columns, then half A
+    keeps columns [0, W/2) and half B keeps [1, W/2] (realigning its one-pair
+    stagger). Exact same math as the block-sparse paired conv at 2/3 the
+    FLOPs; the SAME-padding edge columns come from the (1,1) width padding."""
+    wpl = xp.shape[2]
+    cout = w.shape[-1]
+    w4 = stagger_conv12_weights(w).astype(xp.dtype)
+    out = jax.lax.conv_general_dilated(
+        xp, w4, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    y = jnp.concatenate([out[:, :, :wpl, :cout], out[:, :, 1:, cout:]], axis=-1)
+    return y + jnp.tile(b, 2).astype(xp.dtype)
+
+
 class SSD(nn.Module):
     """SSD300. Input (N, H, W, 3) in [0, 1]; output (N, 8732, num_classes + 4) float32.
 
@@ -144,6 +188,13 @@ class SSD(nn.Module):
     # conv stays the production default. None = auto = currently OFF
     # everywhere (flip to True to force; CPU tests force it with interpret).
     conv12_kernel: bool | None = None
+    # conv_1_2 via the STAGGERED 4-tap XLA conv (stagger_conv12_weights): the
+    # same 4/3-FLOP formulation as the Pallas kernel but expressed as ONE
+    # native XLA conv + two fused slices — keeps XLA's implicit-im2col conv
+    # codegen (the reason it beat Pallas) while dropping the paired form's 2x
+    # structural-zero FLOPs. See tools/bench_conv12.py for the v5e wall-time
+    # comparison of all three formulations.
+    conv12_stagger: bool = True
 
     def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
                       batch_mask=None):
@@ -189,6 +240,9 @@ class SSD(nn.Module):
             kernel, bias = _ConvParams((3, 3, cin, cout), self.param_dtype, name=f"conv_1_{sub}")()
             if sub == 2 and use_kernel:
                 xp = conv12_paired(xp.astype(self.dtype), kernel, bias).astype(self.dtype)
+            elif sub == 2 and self.conv12_stagger:
+                xp = conv12_staggered(xp.astype(self.dtype), kernel.astype(self.dtype),
+                                      bias, precision=self.precision)
             else:
                 wp = pair_conv_weights(kernel).astype(self.dtype)
                 xp = jax.lax.conv_general_dilated(

@@ -88,7 +88,13 @@ def main():
     def xla_fn(x, w, b):
         return _xla_paired(x, w, b).astype(x.dtype)
 
+    def stag_fn(x, w, b):
+        from object_detection_torch2_tpu.models.ssd import conv12_staggered
+
+        return conv12_staggered(x, w, b).astype(x.dtype)
+
     ms_xla = timed_chain(xla_fn, x, w, b, args.iters)
+    ms_stag = timed_chain(stag_fn, x, w, b, args.iters)
     ms_pal = timed_chain(pallas_fn, x, w, b, args.iters)
 
     dense_gflop = 2 * n * h * wp * 2 * 9 * c * c / 1e9  # useful (unpaired) conv FLOPs
@@ -96,12 +102,15 @@ def main():
         "shape": list(x.shape),
         "dtype": args.dtype,
         "xla_paired_ms": round(ms_xla, 4),
+        "xla_staggered_ms": round(ms_stag, 4),
         "pallas_ms": round(ms_pal, 4),
-        "speedup": round(ms_xla / ms_pal, 3),
+        "staggered_speedup_vs_paired": round(ms_xla / ms_stag, 3),
         "useful_gflop": round(dense_gflop, 2),
         "xla_effective_tflops": round(dense_gflop / ms_xla, 1),
+        "staggered_effective_tflops": round(dense_gflop / ms_stag, 1),
         "pallas_effective_tflops": round(dense_gflop / ms_pal, 1),
-        "note": "effective TFLOP/s = USEFUL (dense) flops / wall; XLA does 2x useful, pallas 4/3x",
+        "note": "effective TFLOP/s = USEFUL (dense) flops / wall; "
+                "XLA paired does 2x useful, staggered & pallas 4/3x",
     }
     print(json.dumps(rec))
 
