@@ -252,7 +252,15 @@ def test_detection_pipeline_dp_batch_stats(goldens):
 def test_eval_pipeline_dp_equivalence(goldens):
     """The evaluate pipeline (detection + first-claim TP assignment) under the
     8-device mesh ≡ single-device, so multi-chip `cli/evaluate.py --num_devices`
-    reproduces single-chip mAP exactly."""
+    reproduces single-chip mAP exactly.
+
+    Runs in running-stats BN mode, where per-sample math is layout-invariant
+    so EXACT equality is the right assertion (mirrors
+    test_detection_pipeline_dp_exact_running_stats). Batch-stats mode's
+    cross-device moment reduction reorders f32 sums, and on random-init
+    half-positive scores a ulp flips greedy-NMS survivors (the staggered
+    conv_1_2 exposed this: 2/8 images drifted by one detection) — that mode's
+    continuous-level guarantee is pinned by test_detection_pipeline_dp_batch_stats."""
     import jax
 
     from object_detection_torch2_tpu.cli.evaluate import build_eval_pipeline
@@ -273,8 +281,8 @@ def test_eval_pipeline_dp_equivalence(goldens):
     gts = synth_targets(rng, 8, rng.integers(1, 5, 8), g_pad=6)
 
     model = SSD(num_classes=21)
-    run1 = build_eval_pipeline(model, True, imsize, num_classes=20, max_detections=64)
-    run8 = build_eval_pipeline(model, True, imsize, num_classes=20, max_detections=64,
+    run1 = build_eval_pipeline(model, False, imsize, num_classes=20, max_detections=64)
+    run8 = build_eval_pipeline(model, False, imsize, num_classes=20, max_detections=64,
                                mesh=make_mesh())
     m1, nv1 = run1(variables, jnp.asarray(images_u8), jnp.asarray(gts), 8)
     m8, nv8 = run8(variables, jnp.asarray(images_u8), jnp.asarray(gts), 8)
@@ -284,4 +292,6 @@ def test_eval_pipeline_dp_equivalence(goldens):
     flat8 = jax.tree_util.tree_leaves_with_path(jax.device_get(m8))
     for (p1, a), (p8, b) in zip(flat1, flat8):
         assert p1 == p8
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=str(p1))
+        # selections (TP flags, classes, counts) must be identical; scores may
+        # differ by the per-shard conv-scheduling ulp (see running-stats test)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=str(p1))
