@@ -47,9 +47,14 @@ def main():
     n_dev = len(jax.devices())
     on_tpu = platform == "tpu"
     batch_size = 32 if on_tpu else 8
-    warmup, iters = (3, 20) if on_tpu else (1, 3)
+    # K optimizer steps per host dispatch (lax.scan inside ONE program —
+    # cli/train.py --steps_per_dispatch): amortizes the ~2.3 ms per-dispatch
+    # latency of the remote PJRT runtime. Step math identical to K singles
+    # (tests/test_trainer_scan.py).
+    scan_k = 8 if on_tpu else 2
+    warmup, iters = (1, 3) if on_tpu else (1, 2)  # iters are K-step dispatches
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    log(f"platform={platform} devices={n_dev} batch={batch_size} dtype={dtype.__name__}")
+    log(f"platform={platform} devices={n_dev} batch={batch_size} scan_k={scan_k} dtype={dtype.__name__}")
 
     mesh = make_mesh()
     model = SSD(num_classes=21, dtype=dtype)
@@ -60,30 +65,38 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), tx)
 
     rng = np.random.default_rng(0)
-    images_u8 = rng.integers(0, 255, (batch_size, 300, 300, 3)).astype(np.uint8)
-    targets = np.zeros((batch_size, 64, 25), np.float32)
-    n_boxes = rng.integers(1, 6, batch_size)
-    for i in range(batch_size):
+    n = scan_k * batch_size
+    images_u8 = rng.integers(0, 255, (scan_k, batch_size, 300, 300, 3)).astype(np.uint8)
+    targets = np.zeros((n, 64, 25), np.float32)
+    n_boxes = rng.integers(1, 6, n)
+    for i in range(n):
         g = n_boxes[i]
         targets[i, :g, :2] = rng.uniform(0.2, 0.8, (g, 2))
         targets[i, :g, 2:4] = rng.uniform(0.1, 0.4, (g, 2))
         targets[i, np.arange(g), 4 + rng.integers(1, 21, g)] = 1.0
-    images_u8, targets = shard_batch(mesh, (jnp.asarray(images_u8), jnp.asarray(targets)))
+    targets = targets.reshape(scan_k, batch_size, 64, 25)
+    # (K, B, ...) micro-batch stacks: scan axis whole, batch axis sharded
+    images_u8, targets = shard_batch(mesh, (jnp.asarray(images_u8), jnp.asarray(targets)), batch_axis=1)
 
     t0 = time.time()
     for i in range(warmup):
-        state, loss = trainer.train_step(state, images_u8, targets)
-    loss.block_until_ready()
-    log(f"compile+warmup {time.time()-t0:.1f}s, loss={float(loss):.4f}")
+        state, losses = trainer.train_steps(state, images_u8, targets)
+    losses.block_until_ready()
+    log(f"compile+warmup {time.time()-t0:.1f}s, loss={float(losses[-1]):.4f}")
 
     t0 = time.time()
     for i in range(iters):
-        state, loss = trainer.train_step(state, images_u8, targets)
-    loss.block_until_ready()
+        state, losses = trainer.train_steps(state, images_u8, targets)
+    # force completion with a scalar fetch: the tunnel's block_until_ready
+    # does not reliably block (NOTES_ROUND3.md) and the value depends on the
+    # whole chained sequence, so the fetch bounds all `iters` dispatches
+    final_loss = float(losses[-1])
     dt = time.time() - t0
-    images_per_sec = batch_size * iters / dt
+    steps = scan_k * iters
+    images_per_sec = batch_size * steps / dt
     per_chip = images_per_sec / n_dev
-    log(f"{iters} steps in {dt:.2f}s -> {images_per_sec:.1f} img/s total, {per_chip:.1f} img/s/chip")
+    log(f"{steps} steps ({iters} dispatches of {scan_k}) in {dt:.2f}s -> "
+        f"{images_per_sec:.1f} img/s total, {per_chip:.1f} img/s/chip (final loss {final_loss:.4f})")
 
     vs_baseline = None
     band = None
@@ -103,7 +116,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"SSD300 train images/sec/chip (bs{batch_size}, {dtype.__name__}, {platform} x{n_dev})",
+                "metric": f"SSD300 train images/sec/chip (bs{batch_size}, {dtype.__name__}, "
+                          f"{platform} x{n_dev}, {scan_k} steps/dispatch)",
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -59,7 +59,16 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_dir", type=str, default="./logs")
     parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
-    parser.add_argument("--steps_per_epoch", type=int, default=None, help="cap steps (debug/bench)")
+    parser.add_argument("--steps_per_epoch", type=int, default=None,
+                        help="cap steps (debug/bench; with --steps_per_dispatch K the cap is "
+                             "reached in K-step granularity)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="run K optimizer steps per host dispatch (lax.scan over K stacked "
+                             "micro-batches inside ONE compiled program — amortizes the ~2.3 ms "
+                             "per-dispatch latency of remote PJRT runtimes; step math, augment "
+                             "RNG sequence and losses are identical to K single dispatches, "
+                             "tests/test_trainer_scan.py). TB/val/checkpoint cadence unchanged "
+                             "(per-epoch)")
     parser.add_argument("--save_interval", type=int, default=1,
                         help="write checkpoints at most every N epochs (and always on the last). "
                              "Improvement is tracked EVERY epoch; a best epoch between checks "
@@ -156,7 +165,8 @@ def main(argv=None):
 
     ds_train, ds_val = _build_datasets(args)
     dl_train = DataLoader(ds_train, args.batch_size, shuffle=True, seed=args.seed, max_gt=args.max_gt,
-                          mesh=mesh, num_workers=args.num_workers)
+                          mesh=mesh, num_workers=args.num_workers,
+                          stack_steps=args.steps_per_dispatch)
     dl_val = (DataLoader(ds_val, args.batch_size, max_gt=args.max_gt, mesh=mesh,
                          num_workers=args.num_workers) if ds_val else None)
 
@@ -264,19 +274,29 @@ def main(argv=None):
         # 0 -> decay restarts from the schedule base; orbax path: step continues
         # -> continued decay from args.lr)
         epoch_lr = float(schedule(int(state.step)))
+        multi = args.steps_per_dispatch > 1
         with maybe_trace(args.profile_dir if epoch == 1 + start_epoch else None):
             for images, gts in dl_train:
-                state, loss = trainer.train_step(state, images, gts)
+                if multi:
+                    # (K, B, ...) stack -> one dispatch, K optimizer steps,
+                    # (K,) per-step losses (identical math to K single steps)
+                    state, loss = trainer.train_steps(state, images, gts)
+                    k = int(loss.shape[0])
+                else:
+                    state, loss = trainer.train_step(state, images, gts)
+                    k = 1
                 losses.append(loss)
-                meter.step()
+                meter.step(k)
                 if len(losses) > 1 and not pbar.disable:
-                    run_sum += float(losses[-2])
-                    pbar.set_description(f"[{epoch}, {meter.steps}] loss: {run_sum / (meter.steps - 1):.4f}")
-                pbar.update(1)
+                    run_sum += float(jnp.sum(losses[-2]))
+                    pbar.set_description(f"[{epoch}, {meter.steps}] loss: {run_sum / (meter.steps - k):.4f}")
+                pbar.update(k)
                 if args.steps_per_epoch and meter.steps >= args.steps_per_epoch:
                     break
         pbar.close()
-        running_loss = float(jnp.stack(losses).mean()) if losses else 0.0
+        running_loss = (
+            float(jnp.concatenate([jnp.atleast_1d(l) for l in losses]).mean()) if losses else 0.0
+        )
         images_per_sec = meter.images_per_sec()
 
         if dl_val is not None:

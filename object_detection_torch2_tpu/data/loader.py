@@ -35,6 +35,7 @@ class DataLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         num_workers: int = 0,
+        stack_steps: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size  # GLOBAL batch size (all processes, all devices)
@@ -53,6 +54,11 @@ class DataLoader:
         # per batch so tiny fixture runs don't pay 8 process spawns.
         self.num_workers = 0 if self._is_records else max(0, int(num_workers))
         self._pool = None
+        # stack_steps=K groups K consecutive batches into (K, B, ...) stacks
+        # for `Trainer.train_steps`' in-graph scan (one host dispatch per K
+        # steps — dispatch latency through remote runtimes otherwise costs
+        # ~2.3 ms/step). The final group of an epoch may be shorter.
+        self.stack_steps = max(1, int(stack_steps))
         # multi-host DP: every process computes the SAME global index order
         # (shared seed) and loads only its contiguous slice of each global
         # batch; mesh_lib.shard_batch assembles the global array from the
@@ -128,22 +134,36 @@ class DataLoader:
         except Exception:
             pass
 
-    def _place(self, batch):
+    def _place(self, batch, batch_axis: int = 0):
         if self.mesh is not None:
-            return mesh_lib.shard_batch(self.mesh, batch)
+            return mesh_lib.shard_batch(self.mesh, batch, batch_axis)
         return batch
 
+    def _stacked_host_batches(self):
+        """Group `stack_steps` host batches into (K, B, ...) stacks."""
+        group: list = []
+        for batch in self._host_batches():
+            group.append(batch)
+            if len(group) == self.stack_steps:
+                yield tuple(np.stack(parts) for parts in zip(*group))
+                group = []
+        if group:  # epoch tail: a shorter stack (one extra compile, cached)
+            yield tuple(np.stack(parts) for parts in zip(*group))
+
     def __iter__(self):
-        """Yield device-placed (images, gts); a background thread keeps
-        `prefetch` batches staged ahead."""
+        """Yield device-placed (images, gts) — (K, B, ...) stacks when
+        `stack_steps` K > 1; a background thread keeps `prefetch` batches
+        staged ahead."""
         self.epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stacked = self.stack_steps > 1
+        source = self._stacked_host_batches if stacked else self._host_batches
 
         def producer():
             try:
-                for batch in self._host_batches():
-                    q.put(self._place(batch))
+                for batch in source():
+                    q.put(self._place(batch, batch_axis=1 if stacked else 0))
             finally:
                 q.put(sentinel)
 

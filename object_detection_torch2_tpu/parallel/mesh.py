@@ -46,16 +46,20 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis sharded over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Batch axis sharded over the data axis (axes before it replicated).
+
+    batch_axis=1 is the layout for K-stacked micro-batch tensors (K, B, ...)
+    consumed by `Trainer.train_steps`' in-graph scan: the scan axis stays
+    whole, each micro-batch shards over the mesh exactly like a single step."""
+    return NamedSharding(mesh, P(*([None] * batch_axis), DATA_AXIS))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree, batch_axis: int = 0):
     """Host arrays -> device with the batch axis sharded over the mesh.
 
     Single process: a plain device_put of the full batch. Multi-process
@@ -63,15 +67,19 @@ def shard_batch(mesh: Mesh, tree):
     PROCESS-LOCAL slice of the global batch (global_batch/process_count rows —
     the DataLoader feeds exactly that) and the global array is assembled with
     `jax.make_array_from_process_local_data`; XLA then runs the gradient
-    all-reduce over ICI within hosts and DCN across them."""
-    sharding = batch_sharding(mesh)
+    all-reduce over ICI within hosts and DCN across them.
+
+    batch_axis=1 places K-stacked (K, B, ...) micro-batch tensors for the
+    multi-step scan (see `batch_sharding`)."""
+    sharding = batch_sharding(mesh, batch_axis)
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
 
     def _make(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-        return jax.make_array_from_process_local_data(sharding, x, global_shape=global_shape)
+        global_shape = list(x.shape)
+        global_shape[batch_axis] *= jax.process_count()
+        return jax.make_array_from_process_local_data(sharding, x, global_shape=tuple(global_shape))
 
     return jax.tree.map(_make, tree)
 

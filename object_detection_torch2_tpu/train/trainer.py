@@ -64,6 +64,7 @@ class Trainer:
             raise ValueError("multibox loss requires default_boxes")
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl, donate_argnums=(0,), static_argnames=("augment",))
 
     # ------------------------------------------------------------------ losses
@@ -116,6 +117,25 @@ class Trainer:
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return state, loss
 
+    def _train_steps_impl(self, state: TrainState, images_k, targets_k):
+        """K train steps in ONE compiled program: `lax.scan` over stacked
+        (K, B, ...) micro-batches.
+
+        Per-dispatch overhead through a remote PJRT runtime measured ~2.3 ms
+        (tools/bench_step_breakdown.py: 21.2 ms walled vs 18.9 ms differenced
+        at bs32) — scanning K steps amortizes it to ~2.3/K ms. The body IS
+        `_train_step_impl`: the per-step augment RNG already folds `state.step`
+        into the base key and `apply_gradients` increments the step inside the
+        scan carry, so a K-scan computes exactly the same sequence of steps as
+        K single dispatches (test_trainer_scan.py pins the equivalence)."""
+        def body(carry, batch):
+            images, targets = batch
+            new_state, loss = self._train_step_impl(carry, images, targets)
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, (images_k, targets_k))
+        return state, losses
+
     def _eval_step_impl(self, state: TrainState, images, targets, rng=None, augment: bool = False):
         # no_grad + train-mode BN (reference validation semantics). NB the
         # reference also leaves dropout ACTIVE during validation (train mode +
@@ -152,6 +172,14 @@ class Trainer:
 
     def train_step(self, state, images, targets, rng=None):
         return self._train_step(state, images, targets, rng)
+
+    def train_steps(self, state, images_k, targets_k):
+        """Run K steps from one dispatch; returns (state, (K,) losses).
+
+        images_k/targets_k are (K, B, ...) stacks — place them with
+        `shard_batch(mesh, ..., batch_axis=1)` (the DataLoader's
+        `stack_steps=K` does this)."""
+        return self._train_steps(state, images_k, targets_k)
 
     def eval_step(self, state, images, targets, rng=None, augment=False):
         return self._eval_step(state, images, targets, rng, augment=augment)
