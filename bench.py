@@ -50,9 +50,17 @@ def main():
     # K optimizer steps per host dispatch (lax.scan inside ONE program —
     # cli/train.py --steps_per_dispatch): amortizes the ~2.3 ms per-dispatch
     # latency of the remote PJRT runtime. Step math identical to K singles
-    # (tests/test_trainer_scan.py).
-    scan_k = 8 if on_tpu else 2
-    warmup, iters = (1, 3) if on_tpu else (1, 2)  # iters are K-step dispatches
+    # (tests/test_trainer_scan.py). Overridable for sweeps via env.
+    import os
+
+    scan_k = int(os.environ.get("BENCH_SCAN_K", 8 if on_tpu else 2))
+    # iters are K-step dispatches; the single synchronous loss fetch at the end
+    # (~31 ms RTT through the tunnel) amortizes over scan_k*iters steps — a real
+    # epoch runs hundreds of steps with pipelined fetches (cli/train.py reads
+    # the PREVIOUS dispatch's losses), so a longer measured stretch is the
+    # representative number, not a flattering one.
+    iters = int(os.environ.get("BENCH_ITERS", 16 if on_tpu else 2))
+    warmup = 1
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     log(f"platform={platform} devices={n_dev} batch={batch_size} scan_k={scan_k} dtype={dtype.__name__}")
 
