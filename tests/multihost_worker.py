@@ -41,6 +41,17 @@ def run_trajectory(mesh, steps: int = 3):
         for ims, gts in loader:
             state, loss = trainer.train_step(state, ims, gts)
             losses.append(float(loss))
+
+    # the K-stacked scan path (cli/train.py --steps_per_dispatch): 16 samples
+    # at batch_size 8 -> one (2, 8, ...) stack; each process contributes a
+    # (2, 4, ...) local slice assembled on batch_axis=1 by shard_batch via
+    # jax.make_array_from_process_local_data — the branch single-step DP
+    # never exercises
+    scan_loader = DataLoader(dataset * 2, batch_size=8, shuffle=False, max_gt=2, mesh=mesh, stack_steps=2)
+    for ims, gts in scan_loader:
+        state, scan_losses = trainer.train_steps(state, ims, gts)
+        losses.extend(float(l) for l in np.asarray(scan_losses))
+
     kernel = np.asarray(state.params["det_4_3"]["kernel"])
     return losses, kernel
 
