@@ -277,11 +277,22 @@ def main(argv=None):
         multi = args.steps_per_dispatch > 1
         with maybe_trace(args.profile_dir if epoch == 1 + start_epoch else None):
             for images, gts in dl_train:
-                if multi:
+                if multi and images.shape[0] == args.steps_per_dispatch:
                     # (K, B, ...) stack -> one dispatch, K optimizer steps,
                     # (K,) per-step losses (identical math to K single steps)
                     state, loss = trainer.train_steps(state, images, gts)
                     k = int(loss.shape[0])
+                elif multi:
+                    # epoch tail (fewer than K batches left): run them through
+                    # the single-step program instead of compiling a whole
+                    # K=tail scan (a full-model compile costs minutes through
+                    # remote runtimes). Step math is identical either way.
+                    tail = []
+                    for i in range(images.shape[0]):
+                        state, l = trainer.train_step(state, images[i], gts[i])
+                        tail.append(l)
+                    loss = jnp.stack(tail)
+                    k = len(tail)
                 else:
                     state, loss = trainer.train_step(state, images, gts)
                     k = 1

@@ -147,7 +147,8 @@ class DataLoader:
             if len(group) == self.stack_steps:
                 yield tuple(np.stack(parts) for parts in zip(*group))
                 group = []
-        if group:  # epoch tail: a shorter stack (one extra compile, cached)
+        if group:  # epoch tail: a shorter stack (cli/train.py dispatches its
+            # batches through the single-step program — no K=tail recompile)
             yield tuple(np.stack(parts) for parts in zip(*group))
 
     def __iter__(self):
