@@ -41,6 +41,10 @@ def parse_args(argv=None):
     parser.add_argument("--strict_ap", action="store_true", help="also report proper score-ranked AP")
     parser.add_argument("--max_detections", type=int, default=200,
                         help="device-side top-K compaction bound (post-NMS survivors)")
+    parser.add_argument("--batches_per_dispatch", type=int, default=1,
+                        help="evaluate K batches per compiled dispatch (in-graph scan; "
+                             "per-batch semantics unchanged — the serving analog of "
+                             "train's --steps_per_dispatch; leftover batches run single)")
     return parser.parse_args(argv)
 
 
@@ -52,11 +56,15 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
     mesh: optional data-parallel Mesh — images/GTs shard over the batch axis,
     variables replicate; the TP-assignment matcher is per-image math, so GSPMD
     splits it over chips with no collectives (only the BN batch stats reduce
-    globally). Sharded output ≡ single-device (tests/test_parallel.py)."""
+    globally). Sharded output ≡ single-device (tests/test_parallel.py).
+
+    Like the detection pipeline, the runner also accepts K-STACKED input —
+    images (K, N, H, W, 3), gts (K, N, G, 25), n_real (K,) — scanning K batches
+    inside ONE compiled program (--batches_per_dispatch) with per-micro-batch
+    semantics unchanged; results gain a leading K axis."""
     detect = build_detection_pipeline(model, use_batch_stats, imsize, max_detections=max_detections)
 
-    @jax.jit
-    def run(variables, images_u8, gts, n_real):
+    def body(variables, images_u8, gts, n_real):
         packed, n_valid = detect(variables, images_u8, n_real)
         boxes, classes, scores = packed[..., :4], packed[..., 4].astype(jnp.int32), packed[..., 5]
         compact = expand_detections(boxes, classes, scores, num_classes + 1)
@@ -64,19 +72,32 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
         matches = detection_matches(compact, gts * mask[:, None, None], num_classes=num_classes)
         return matches, n_valid
 
+    run1 = jax.jit(body)
+
+    @jax.jit
+    def runk(variables, images_u8, gts, n_real):
+        return jax.lax.scan(
+            lambda c, xs: (c, body(variables, *xs)), None, (images_u8, gts, n_real)
+        )[1]
+
+    def run(variables, images_u8, gts, n_real):
+        if images_u8.ndim == 5:
+            return runk(variables, images_u8, gts, jnp.asarray(n_real))
+        return run1(variables, images_u8, gts, n_real)
+
     if mesh is None:
         return run
 
     from object_detection_torch2_tpu.parallel import mesh as mesh_lib
 
-    b_shard = mesh_lib.batch_sharding(mesh)
     r_shard = mesh_lib.replicated_sharding(mesh)
 
     def run_dp(variables, images_u8, gts, n_real):
+        b_shard = mesh_lib.batch_sharding(mesh, batch_axis=images_u8.ndim - 4)
         return run(
             jax.device_put(variables, r_shard),
             jax.device_put(images_u8, b_shard),
-            jax.device_put(gts, b_shard),
+            jax.device_put(gts, mesh_lib.batch_sharding(mesh, batch_axis=gts.ndim - 3)),
             n_real,
         )
 
@@ -112,21 +133,47 @@ def main(argv=None):
 
     def drain(done):
         nonlocal truncated
-        matches, n_valid = done
-        acc.update(matches)
+        matches, n_valid, stacked = done
+        if stacked:  # K-stacked dispatch: accumulate each micro-batch's matches
+            for k in range(np.asarray(n_valid).shape[0]):
+                acc.update(jax.tree.map(lambda x: np.asarray(x)[k], matches))
+        else:
+            acc.update(matches)
         truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
 
     # per-batch progress (reference: evaluate.py:118-121 tqdm); auto-disabled on
     # non-TTY. Pipelined (utils.hostsync.FetchPipeline): each batch's match
     # tensors start their async D2H at dispatch and are accumulated two batches
-    # later, overlapping device compute with the host round trip.
+    # later, overlapping device compute with the host round trip. With
+    # --batches_per_dispatch K, K padded batches are stacked and scanned inside
+    # one program (leftover batches at the end run through the single program).
     pipe = FetchPipeline()
+    group: list[tuple] = []
+
+    def dispatch_group():
+        imgs = jnp.asarray(np.stack([g[0] for g in group]))
+        gts_s = jnp.asarray(np.stack([g[1] for g in group]))
+        reals = np.asarray([g[2] for g in group], np.int32)
+        matches, n_valid = run(variables, imgs, gts_s, reals)
+        group.clear()
+        return pipe.push((matches, n_valid, True))
+
     for images_u8, gts in tqdm(loader, total=len(loader), disable=None, unit="batch"):
         images_u8 = np.asarray(images_u8)
         gts = np.asarray(gts, np.float32)
         images_u8, real = common.pad_batch(images_u8, args.batch_size)
         gts_p, _ = common.pad_batch(gts, args.batch_size)
-        done = pipe.push(run(variables, jnp.asarray(images_u8), jnp.asarray(gts_p), real))
+        if args.batches_per_dispatch > 1:
+            group.append((images_u8, gts_p, real))
+            done = dispatch_group() if len(group) == args.batches_per_dispatch else None
+        else:
+            matches, n_valid = run(variables, jnp.asarray(images_u8), jnp.asarray(gts_p), real)
+            done = pipe.push((matches, n_valid, False))
+        if done is not None:
+            drain(done)
+    for images_u8, gts_p, real in group:  # tail: single-batch program, no recompile
+        matches, n_valid = run(variables, jnp.asarray(images_u8), jnp.asarray(gts_p), real)
+        done = pipe.push((matches, n_valid, False))
         if done is not None:
             drain(done)
     for done in pipe.flush():

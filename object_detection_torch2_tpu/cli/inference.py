@@ -32,6 +32,10 @@ def parse_args(argv=None):
     common.add_common_args(parser, batch_size_default=2)
     parser.add_argument("--max_detections", type=int, default=200,
                         help="device-side top-K compaction bound (post-NMS survivors)")
+    parser.add_argument("--batches_per_dispatch", type=int, default=1,
+                        help="run K batches per compiled dispatch (in-graph scan; "
+                             "per-batch semantics unchanged — the serving analog of "
+                             "train's --steps_per_dispatch; leftover batches run single)")
     return parser.parse_args(argv)
 
 
@@ -63,26 +67,50 @@ def main(argv=None):
 
     def drain(pending):
         nonlocal n, truncated
-        images_u8, packed, n_valid, real = pending
-        boxes, classes, scores = unpack_detections(packed)
+        # normalized to K-stacked form: lists of per-micro-batch images/reals,
+        # packed (K, N, Kdet, 6), n_valid (K, N)
+        images_k, packed_k, n_valid, reals = pending
         truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
-        for i in range(real):
-            img = render_detections_compact(
-                images_u8[i], boxes[i], classes[i], scores[i], labelmap, args.imsize, palette
-            )
-            save_detections(out_dir, n, img)
-            n += 1
+        for images_u8, packed, real in zip(images_k, np.asarray(packed_k), reals):
+            boxes, classes, scores = unpack_detections(packed)
+            for i in range(real):
+                img = render_detections_compact(
+                    images_u8[i], boxes[i], classes[i], scores[i], labelmap, args.imsize, palette
+                )
+                save_detections(out_dir, n, img)
+                n += 1
 
     # per-batch progress (reference: inference.py:56-59 tqdm); auto-disabled on
     # non-TTY. Pipelined (utils.hostsync.FetchPipeline): each batch's packed
     # results start their async D2H at dispatch and are rendered two batches
     # later, overlapping device compute, the host round trip, and PIL work.
+    # With --batches_per_dispatch K, K padded batches are stacked and scanned
+    # inside one program (leftovers at the end run through the single program).
     pipe = FetchPipeline()
+    group: list[tuple] = []
+
+    def dispatch_group():
+        stacked = jax.numpy.asarray(np.stack([g[1] for g in group]))
+        reals = [g[2] for g in group]
+        packed, n_valid = run(variables, stacked, np.asarray(reals, np.int32))
+        item = ([g[0] for g in group], packed, n_valid, reals)
+        group.clear()
+        return pipe.push(item)
+
     for images_u8, _ in tqdm(loader, total=len(loader), disable=None, unit="batch"):
         images_u8 = np.asarray(images_u8)
         padded, real = common.pad_batch(images_u8, args.batch_size)
+        if args.batches_per_dispatch > 1:
+            group.append((images_u8, padded, real))
+            done = dispatch_group() if len(group) == args.batches_per_dispatch else None
+        else:
+            packed, n_valid = run(variables, jax.numpy.asarray(padded), real)
+            done = pipe.push(([images_u8], packed[None], n_valid[None], [real]))
+        if done is not None:
+            drain(done)
+    for images_u8, padded, real in group:  # tail: single-batch program, no recompile
         packed, n_valid = run(variables, jax.numpy.asarray(padded), real)
-        done = pipe.push((images_u8, packed, n_valid, real))
+        done = pipe.push(([images_u8], packed[None], n_valid[None], [real]))
         if done is not None:
             drain(done)
     for done in pipe.flush():

@@ -62,11 +62,19 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
     n_real masks a padded ragged final batch: pad rows are excluded from BN
     batch statistics and their detections zeroed. n_valid counts pre-compaction
     survivors so callers can detect K-truncation (post-NMS survivors rarely
-    approach the default K=200; any beyond K are the lowest-scored)."""
+    approach the default K=200; any beyond K are the lowest-scored).
+
+    The returned runner also accepts K-STACKED input — images_u8 (K, N, H, W, 3)
+    with n_real (K,) — and then runs K batches as ONE compiled program
+    (`lax.scan` over the same body; the serving analog of
+    `Trainer.train_steps`): through a remote runtime the per-dispatch latency
+    otherwise bounds serving throughput the same way it bounded training.
+    Results are (K, N, Kdet, 6) / (K, N); per-micro-batch BN batch-statistics
+    semantics are IDENTICAL to K separate dispatches (unlike simply raising the
+    batch size, which would widen the statistics window — quirk Q9 parity)."""
     df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
 
-    @jax.jit
-    def run(variables, images_u8, n_real):
+    def body(variables, images_u8, n_real):
         mask = (jnp.arange(images_u8.shape[0]) < n_real).astype(jnp.float32)
         images = to_tensor_batch(images_u8)
         out = model.apply(
@@ -85,18 +93,34 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
         ).astype(jnp.float32)
         return packed, n_valid
 
+    run1 = jax.jit(body)
+
+    @jax.jit
+    def runk(variables, images_u8, n_real):
+        # K batches, one dispatch: scan keeps each micro-batch's BN statistics
+        # window at N (== K separate calls), amortizing dispatch/fetch latency
+        return jax.lax.scan(
+            lambda c, xs: (c, body(variables, *xs)), None, (images_u8, n_real)
+        )[1]
+
+    def run(variables, images_u8, n_real):
+        if images_u8.ndim == 5:
+            return runk(variables, images_u8, jnp.asarray(n_real))
+        return run1(variables, images_u8, n_real)
+
     if mesh is None:
         return run
 
     from object_detection_torch2_tpu.parallel import mesh as mesh_lib
 
-    b_shard = mesh_lib.batch_sharding(mesh)
     r_shard = mesh_lib.replicated_sharding(mesh)
 
     def run_dp(variables, images_u8, n_real):
         # device_put is a no-op when the placement already matches, so
         # replicating variables here (instead of asking every caller to) costs
-        # one tree walk per batch
+        # one tree walk per batch. Stacked (K, N, ...) input shards axis 1
+        # (scan axis whole, each micro-batch over the mesh), plain input axis 0.
+        b_shard = mesh_lib.batch_sharding(mesh, batch_axis=images_u8.ndim - 4)
         return run(
             jax.device_put(variables, r_shard),
             jax.device_put(images_u8, b_shard),
@@ -116,7 +140,7 @@ def unpack_detections(packed):
 class Predictor:
     def __init__(self, model, variables, imsize: int = 300, batch_size: int = 8,
                  use_batch_stats: bool = True, iou_thresh: float = 0.5, max_detections: int = 200,
-                 mesh=None):
+                 mesh=None, batches_per_dispatch: int = 1):
         """use_batch_stats=True is the reference-parity default (quirk Q9:
         it never calls .eval(), so its inference normalizes with batch stats).
         Under that mode detections of a batch depend on the batch's other
@@ -127,9 +151,18 @@ class Predictor:
 
         mesh: optional data-parallel Mesh — batch_size must divide its device
         count; each batch is sharded over the chips and results gathered
-        (output ≡ single-device, see build_detection_pipeline)."""
+        (output ≡ single-device, see build_detection_pipeline).
+
+        batches_per_dispatch=K runs K consecutive batches as ONE compiled
+        program (in-graph scan, identical per-batch semantics) — through a
+        remote runtime this amortizes dispatch latency like
+        `cli/train.py --steps_per_dispatch` does for training; leftover
+        batches at the end use the single-batch program (no K'-recompile)."""
         if mesh is not None and batch_size % mesh.devices.size:
             raise ValueError(f"batch_size {batch_size} must divide over {mesh.devices.size} devices")
+        if batches_per_dispatch < 1:
+            raise ValueError(f"batches_per_dispatch must be >= 1, got {batches_per_dispatch}")
+        self.batches_per_dispatch = batches_per_dispatch
         self.model = model
         self.variables = jax.tree.map(jnp.asarray, variables)
         if mesh is not None:
@@ -157,21 +190,45 @@ class Predictor:
         results: list[Detections] = []
         pipe = FetchPipeline()
 
+        chunks: list[np.ndarray] = []
+        reals: list[int] = []
         for start in range(0, len(images_u8), self.batch_size):
             chunk = images_u8[start : start + self.batch_size]
             real = len(chunk)
             if real < self.batch_size:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], self.batch_size - real, 0)])
+            chunks.append(chunk)
+            reals.append(real)
+            if len(chunks) == self.batches_per_dispatch:
+                done = self._dispatch(pipe, chunks, reals)
+                chunks, reals = [], []
+                if done is not None:
+                    self._drain(done, results)
+        # leftover batches (< K): single-batch program, no K'-shape recompile
+        for chunk, real in zip(chunks, reals):
             packed, _ = self._run(self.variables, jnp.asarray(chunk), real)
-            done = pipe.push((packed, real))
+            done = pipe.push((packed[None], [real]))
             if done is not None:
                 self._drain(done, results)
         for done in pipe.flush():
             self._drain(done, results)
         return results
 
+    def _dispatch(self, pipe, chunks, reals):
+        if self.batches_per_dispatch == 1:
+            packed, _ = self._run(self.variables, jnp.asarray(chunks[0]), reals[0])
+            return pipe.push((packed[None], reals))
+        packed, _ = self._run(
+            self.variables, jnp.asarray(np.stack(chunks)), np.asarray(reals, np.int32)
+        )
+        return pipe.push((packed, reals))
+
     def _drain(self, pending, results: list[Detections]):
-        packed, real = pending
+        packed_k, reals = pending
+        for packed, real in zip(np.asarray(packed_k), reals):
+            self._drain_one(packed, real, results)
+
+    def _drain_one(self, packed, real, results: list[Detections]):
         boxes, classes, scores = unpack_detections(packed)
         for i in range(real):
             keep = scores[i] > 0

@@ -295,3 +295,36 @@ def test_eval_pipeline_dp_equivalence(goldens):
         # selections (TP flags, classes, counts) must be identical; scores may
         # differ by the per-shard conv-scheduling ulp (see running-stats test)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=str(p1))
+
+
+def test_detection_pipeline_stacked_scan_equivalence(goldens):
+    """K-batches-per-dispatch serving (infer.build_detection_pipeline stacked
+    input): a (K, N, ...) stack scanned inside ONE program must reproduce K
+    separate dispatches — per-micro-batch semantics (incl. ragged n_real
+    masking) unchanged, both single-device and sharded over the 8-device mesh
+    (scan axis whole, batch axis sharded). Running-stats mode, where per-sample
+    math is layout-invariant: selections identical, values to the conv
+    scheduling ulp."""
+    from object_detection_torch2_tpu.infer import build_detection_pipeline
+
+    imsize = 264
+    model, variables, images_u8 = _detection_dp_setup(goldens, imsize)
+    # (2, 8, ...) stack: micro-batch 0 full, micro-batch 1 ragged (5 real)
+    stack = np.stack([images_u8, images_u8[::-1]])
+    n_real = np.asarray([8, 5], np.int32)
+
+    run1 = build_detection_pipeline(model, use_batch_stats=False, imsize=imsize)
+    run8 = build_detection_pipeline(model, use_batch_stats=False, imsize=imsize, mesh=make_mesh())
+
+    singles = [run1(variables, jnp.asarray(stack[k]), int(n_real[k])) for k in range(2)]
+    p_ref = np.stack([np.asarray(p) for p, _ in singles])
+    nv_ref = np.stack([np.asarray(nv) for _, nv in singles])
+
+    for run in (run1, run8):
+        packed, nv = run(variables, jnp.asarray(stack), n_real)
+        assert packed.shape[:2] == (2, 8)
+        np.testing.assert_array_equal(np.asarray(nv), nv_ref)
+        p = np.asarray(packed)
+        np.testing.assert_array_equal(p[..., 4], p_ref[..., 4])
+        np.testing.assert_allclose(p, p_ref, rtol=1e-5, atol=1e-5)
+        assert (p[1, 5:, :, 5] == 0).all()  # ragged micro-batch pad rows empty

@@ -43,3 +43,24 @@ def test_predictor_padding_does_not_perturb_real_images():
     # rel on random-weight logits — equality is mathematical, not bitwise
     np.testing.assert_allclose(solo[0].scores, padded[0].scores, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(solo[0].boxes, padded[0].boxes, rtol=1e-4, atol=1e-5)
+
+
+def test_predictor_batches_per_dispatch_equivalence():
+    """batches_per_dispatch=K (in-graph scan over K batches, the serving analog
+    of --steps_per_dispatch) returns the same detections as K single dispatches
+    — covering one full K-stack, a leftover single batch, and a ragged final
+    batch through the single-batch program. Running-stats mode so per-image
+    math is layout-invariant (selection-identical; values to the scheduling ulp)."""
+    model = SSD(num_classes=21)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 264, 264, 3)), train=False)
+    images = np.random.default_rng(7).integers(0, 255, (7, 264, 264, 3)).astype(np.uint8)
+
+    kwargs = dict(imsize=264, batch_size=2, use_batch_stats=False)
+    base = Predictor(model, variables, **kwargs).predict(images)
+    k2 = Predictor(model, variables, batches_per_dispatch=2, **kwargs).predict(images)
+
+    assert len(base) == len(k2) == 7
+    for a, b in zip(base, k2):
+        np.testing.assert_array_equal(a.class_ids, b.class_ids)
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-5)

@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--batches_per_dispatch", type=int, default=1,
+                        help="K batches scanned inside one compiled program "
+                             "(infer.py stacked input; Predictor batches_per_dispatch)")
     args = parser.parse_args()
 
     import jax
@@ -46,7 +49,10 @@ def main():
     run = build_detection_pipeline(model, use_batch_stats=True)
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 255, (args.batch_size, 300, 300, 3)).astype(np.uint8))
+    k = args.batches_per_dispatch
+    shape = (args.batch_size, 300, 300, 3) if k == 1 else (k, args.batch_size, 300, 300, 3)
+    images = jnp.asarray(rng.integers(0, 255, shape).astype(np.uint8))
+    n_real = args.batch_size if k == 1 else jnp.full((k,), args.batch_size, jnp.int32)
 
     def bias_void(variables, shift):
         """Raise every head's void-class bias so the positive-anchor count looks
@@ -69,7 +75,7 @@ def main():
     ]:
         t0 = time.time()
         for _ in range(args.warmup):
-            out = run(vs, images, args.batch_size)
+            out = run(vs, images, n_real)
         jax.block_until_ready(out)
         print(f"{regime}: compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -82,7 +88,7 @@ def main():
         pipe = FetchPipeline()
         n_valid = None
         for _ in range(args.iters):
-            packed, n_valid = run(vs, images, args.batch_size)
+            packed, n_valid = run(vs, images, n_real)
             done = pipe.push(packed)
             if done is not None:
                 _ = np.asarray(done)
@@ -90,13 +96,14 @@ def main():
             _ = np.asarray(done)
         dt = time.time() - t0
         report[regime] = {
-            "images_per_sec": round(args.batch_size * args.iters / dt, 1),
-            "ms_per_batch": round(dt / args.iters * 1000, 2),
+            "images_per_sec": round(k * args.batch_size * args.iters / dt, 1),
+            "ms_per_batch": round(dt / (k * args.iters) * 1000, 2),
             "mean_positives_per_image": round(float(jnp.mean(n_valid)), 1),
         }
 
     print(json.dumps({
-        "metric": f"SSD300 inference pipeline (bs{args.batch_size}, {args.dtype}, {platform})",
+        "metric": f"SSD300 inference pipeline (bs{args.batch_size}, {args.dtype}, {platform}, "
+                  f"{k} batches/dispatch)",
         **report,
     }))
 
