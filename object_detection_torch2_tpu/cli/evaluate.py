@@ -45,11 +45,15 @@ def parse_args(argv=None):
                         help="evaluate K batches per compiled dispatch (in-graph scan; "
                              "per-batch semantics unchanged — the serving analog of "
                              "train's --steps_per_dispatch; leftover batches run single)")
+    parser.add_argument("--d2h_half", action="store_true",
+                        help="fetch match scores as float16 (~5e-4 quantization) — halves "
+                             "the per-batch device->host payload, which bounds throughput "
+                             "through bandwidth-limited runtimes; default f32 is bit-exact")
     return parser.parse_args(argv)
 
 
 def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: int,
-                        max_detections: int = 200, mesh=None):
+                        max_detections: int = 200, mesh=None, d2h_half: bool = False):
     """(variables, images_u8, gts, n_real) -> (detection_matches dict at K rows,
     n_valid) as one jitted program.
 
@@ -70,6 +74,8 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
         compact = expand_detections(boxes, classes, scores, num_classes + 1)
         mask = (jnp.arange(gts.shape[0]) < n_real).astype(gts.dtype)
         matches = detection_matches(compact, gts * mask[:, None, None], num_classes=num_classes)
+        if d2h_half:  # halve the largest D2H leaf (scores); `correct` is already bool
+            matches = {**matches, "scores": matches["scores"].astype(jnp.float16)}
         return matches, n_valid
 
     run1 = jax.jit(body)
@@ -125,7 +131,8 @@ def main(argv=None):
 
     num_classes = len(labelmap)
     run = build_eval_pipeline(
-        model, args.bn_mode == "batch", args.imsize, num_classes, args.max_detections, mesh=mesh
+        model, args.bn_mode == "batch", args.imsize, num_classes, args.max_detections, mesh=mesh,
+        d2h_half=args.d2h_half,
     )
     acc = APAccumulator(num_classes)
 

@@ -36,6 +36,11 @@ def parse_args(argv=None):
                         help="run K batches per compiled dispatch (in-graph scan; "
                              "per-batch semantics unchanged — the serving analog of "
                              "train's --steps_per_dispatch; leftover batches run single)")
+    parser.add_argument("--d2h_half", action="store_true",
+                        help="fetch packed detections as float16 (~5e-4 quantization, "
+                             "≲0.15 px at 300) — halves the per-batch device->host payload, "
+                             "which bounds throughput through bandwidth-limited runtimes; "
+                             "default f32 is bit-exact")
     return parser.parse_args(argv)
 
 
@@ -58,7 +63,8 @@ def main(argv=None):
     model, variables, labelmap = common.build_ssd(args, weights_path)
     variables = jax.tree.map(jax.numpy.asarray, variables)
     run = build_detection_pipeline(
-        model, args.bn_mode == "batch", args.imsize, max_detections=args.max_detections, mesh=mesh
+        model, args.bn_mode == "batch", args.imsize, max_detections=args.max_detections, mesh=mesh,
+        d2h_half=args.d2h_half,
     )
     palette = hls_palette(len(labelmap) + 1)
 

@@ -40,7 +40,7 @@ class Detections:
 
 def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
                              iou_thresh: float = 0.5, max_detections: int = 200,
-                             mesh=None):
+                             mesh=None, d2h_half: bool = False):
     """One jitted program: (variables, images_u8 (N,H,W,3), n_real) ->
     (packed (N,K,6), n_valid (N,)).
 
@@ -71,7 +71,16 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
     otherwise bounds serving throughput the same way it bounded training.
     Results are (K, N, Kdet, 6) / (K, N); per-micro-batch BN batch-statistics
     semantics are IDENTICAL to K separate dispatches (unlike simply raising the
-    batch size, which would widen the statistics window — quirk Q9 parity)."""
+    batch size, which would widen the statistics window — quirk Q9 parity).
+
+    d2h_half=True returns the packed results as float16 — through a remote
+    runtime the device->host link's BANDWIDTH (not just its round-trip) bounds
+    serving throughput (~7 ms/batch for the (32, 200, 6) f32 payload at the
+    tunnel's measured ~200 MB/s, tools/bench_infer_detail.py), and halving the
+    payload buys most of that back. Fidelity: boxes/scores quantize to ~5e-4
+    relative (≲0.15 px at 300), class ids ≤ 20 stay exact; detections with
+    score < 6e-8 flush to zero and are dropped. Default False = bit-exact f32
+    (the reference-parity surface)."""
     df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
 
     def body(variables, images_u8, n_real):
@@ -90,7 +99,7 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
         boxes, classes, scores = top_k_detections(post, max_detections, batch_mask=mask)
         packed = jnp.concatenate(
             [boxes, classes[..., None].astype(boxes.dtype), scores[..., None]], axis=-1
-        ).astype(jnp.float32)
+        ).astype(jnp.float16 if d2h_half else jnp.float32)
         return packed, n_valid
 
     run1 = jax.jit(body)
@@ -140,7 +149,7 @@ def unpack_detections(packed):
 class Predictor:
     def __init__(self, model, variables, imsize: int = 300, batch_size: int = 8,
                  use_batch_stats: bool = True, iou_thresh: float = 0.5, max_detections: int = 200,
-                 mesh=None, batches_per_dispatch: int = 1):
+                 mesh=None, batches_per_dispatch: int = 1, d2h_half: bool = False):
         """use_batch_stats=True is the reference-parity default (quirk Q9:
         it never calls .eval(), so its inference normalizes with batch stats).
         Under that mode detections of a batch depend on the batch's other
@@ -157,7 +166,10 @@ class Predictor:
         program (in-graph scan, identical per-batch semantics) — through a
         remote runtime this amortizes dispatch latency like
         `cli/train.py --steps_per_dispatch` does for training; leftover
-        batches at the end use the single-batch program (no K'-recompile)."""
+        batches at the end use the single-batch program (no K'-recompile).
+
+        d2h_half=True halves the device->host payload (float16 packed results
+        — see build_detection_pipeline; ~5e-4 relative quantization)."""
         if mesh is not None and batch_size % mesh.devices.size:
             raise ValueError(f"batch_size {batch_size} must divide over {mesh.devices.size} devices")
         if batches_per_dispatch < 1:
@@ -173,7 +185,7 @@ class Predictor:
         self.batch_size = batch_size
         self._run = build_detection_pipeline(
             model, use_batch_stats, imsize=imsize, iou_thresh=iou_thresh,
-            max_detections=max_detections, mesh=mesh,
+            max_detections=max_detections, mesh=mesh, d2h_half=d2h_half,
         )
 
     def predict(self, images_u8: np.ndarray) -> list[Detections]:

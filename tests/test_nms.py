@@ -87,3 +87,42 @@ def test_nms_keeps_identical_to_reference_selection(goldens):
     kept_ours = ours[..., 5:].max(-1) > 0
     kept_ref = g["nms_out"][..., 5:].max(-1) > 0
     np.testing.assert_array_equal(kept_ours, kept_ref)
+
+
+def test_blocked_compact_fast_path_equals_serial():
+    """Sparse positives (trained-model regime) route through the compacted
+    top_k fast path (ops/nms.py COMPACT); the keep set must equal the literal
+    serial loop, including multi-cluster suppression chains."""
+    rng = np.random.default_rng(13)
+    n, p = 3, 8732
+    boxes = np.zeros((n, p, 4), np.float32)
+    centers = rng.uniform(0.1, 0.9, (n, 8, 2))
+    pick = rng.integers(0, 8, (n, p))
+    boxes[..., :2] = np.take_along_axis(centers, pick[..., None], axis=1) + rng.normal(0, 0.02, (n, p, 2))
+    boxes[..., 2:] = rng.uniform(0.05, 0.3, (n, p, 2))
+    scores = np.zeros((n, p), np.float32)
+    for i in range(n):  # 40 scattered positives per image (<< COMPACT)
+        idx = rng.choice(p, 40, replace=False)
+        scores[i, idx] = rng.uniform(0.1, 1.0, 40)
+    blocked = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores)))
+    serial = np.asarray(nms_keep_mask_serial(jnp.asarray(boxes), jnp.asarray(scores)))
+    np.testing.assert_array_equal(blocked, serial)
+
+
+def test_blocked_compact_boundary():
+    """Exactly COMPACT positives takes the fast path; COMPACT+1 falls back to
+    the full argsort path — both must equal the serial loop."""
+    from object_detection_torch2_tpu.ops.nms import COMPACT
+
+    rng = np.random.default_rng(14)
+    p = 2048
+    for n_pos in (COMPACT, COMPACT + 1):
+        boxes = np.zeros((1, p, 4), np.float32)
+        boxes[..., :2] = rng.uniform(0, 1, (1, p, 2))
+        boxes[..., 2:] = rng.uniform(0.02, 0.2, (1, p, 2))
+        scores = np.zeros((1, p), np.float32)
+        idx = rng.choice(p, n_pos, replace=False)
+        scores[0, idx] = rng.uniform(0.1, 1.0, n_pos)
+        blocked = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores)))
+        serial = np.asarray(nms_keep_mask_serial(jnp.asarray(boxes), jnp.asarray(scores)))
+        np.testing.assert_array_equal(blocked, serial)

@@ -64,3 +64,22 @@ def test_predictor_batches_per_dispatch_equivalence():
         np.testing.assert_array_equal(a.class_ids, b.class_ids)
         np.testing.assert_allclose(a.scores, b.scores, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-5)
+
+
+def test_predictor_d2h_half_matches_f32():
+    """d2h_half=True (float16 packed D2H) keeps the same detections as the
+    exact f32 path within the documented ~5e-4 relative quantization — the
+    dtype conversion happens AFTER all selection (NMS, top-K) on device, so
+    class ids and detection counts are identical by construction."""
+    model = SSD(num_classes=21)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 264, 264, 3)), train=False)
+    images = np.random.default_rng(3).integers(0, 255, (2, 264, 264, 3)).astype(np.uint8)
+
+    kwargs = dict(imsize=264, batch_size=2, use_batch_stats=False)
+    exact = Predictor(model, variables, **kwargs).predict(images)
+    half = Predictor(model, variables, d2h_half=True, **kwargs).predict(images)
+
+    for a, b in zip(exact, half):
+        np.testing.assert_array_equal(a.class_ids, b.class_ids)
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-3, atol=1e-3)

@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--d2h_half", action="store_true",
+                        help="float16 packed results: halves the D2H payload (the tunnel's "
+                             "~200 MB/s bandwidth bounds the pipelined fetch)")
     parser.add_argument("--batches_per_dispatch", type=int, default=1,
                         help="K batches scanned inside one compiled program "
                              "(infer.py stacked input; Predictor batches_per_dispatch)")
@@ -46,7 +49,7 @@ def main():
     platform = jax.devices()[0].platform
     model = SSD(num_classes=21, dtype=getattr(jnp, args.dtype))
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), train=False)
-    run = build_detection_pipeline(model, use_batch_stats=True)
+    run = build_detection_pipeline(model, use_batch_stats=True, d2h_half=args.d2h_half)
 
     rng = np.random.default_rng(0)
     k = args.batches_per_dispatch
@@ -101,9 +104,10 @@ def main():
             "mean_positives_per_image": round(float(jnp.mean(n_valid)), 1),
         }
 
+    half = ", half-d2h" if args.d2h_half else ""
     print(json.dumps({
         "metric": f"SSD300 inference pipeline (bs{args.batch_size}, {args.dtype}, {platform}, "
-                  f"{k} batches/dispatch)",
+                  f"{k} batches/dispatch{half})",
         **report,
     }))
 
