@@ -25,9 +25,11 @@ Sorting stays outside the kernel (XLA's sort is fine); the kernel computes the
 keep mask over sorted candidates. Bit-identical to the serial greedy loop and
 the blocked-XLA default — tests/test_nms_pallas.py, tools/bench_nms.py.
 
-Measured at bs32 x 8732 on a v5e with per-iteration blocking (tools/bench_nms.py):
-blocked-XLA 0.43 ms dense / 0.03 ms sparse, this kernel 43 / 35 ms, serial
-161 ms. The gap is structural: XLA lowers the cross-suppression to full-width
+Measured at bs32 x 8732 on a v5e (tools/bench_nms.py; round-2 per-iteration
+blocking numbers in parens were flattered by the tunnel's non-blocking
+block_until_ready — NOTES_ROUND3): blocked-XLA honest in-pipeline 7.65 ms
+sparse pre-round-3 (claimed 0.03), 0.96 ms with the compacted fast path; this
+kernel 43 / 35 ms dense/sparse; serial 161 ms. The gap is structural: XLA lowers the cross-suppression to full-width
 MXU einsum contractions and fuses the IoU math into them, while this kernel's
 chunked VPU max-reduces pay per-chunk loop overhead — so the blocked-XLA
 formulation REMAINS THE PRODUCTION DEFAULT and this kernel is the VMEM-resident
