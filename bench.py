@@ -30,6 +30,22 @@ def log(*a):
 
 
 def main():
+    # Hang guard: during a tunnel outage `import jax` blocks forever inside the
+    # axon plugin hook (observed round 3, NOTES_ROUND3.md) — abort with a
+    # diagnostic instead of hanging the driver. 20 min covers a cold SSD300
+    # compile through the tunnel (5-12 min) with margin; cancelled after warmup.
+    import os
+    import threading
+
+    def _abort():
+        log("FATAL: jax init/compile exceeded 20 min — axon tunnel outage "
+            "(see NOTES_ROUND3.md); no measurement possible")
+        os._exit(3)
+
+    hang_guard = threading.Timer(1200.0, _abort)
+    hang_guard.daemon = True
+    hang_guard.start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,8 +67,6 @@ def main():
     # cli/train.py --steps_per_dispatch): amortizes the ~2.3 ms per-dispatch
     # latency of the remote PJRT runtime. Step math identical to K singles
     # (tests/test_trainer_scan.py). Overridable for sweeps via env.
-    import os
-
     scan_k = int(os.environ.get("BENCH_SCAN_K", 8 if on_tpu else 2))
     # iters are K-step dispatches; the single synchronous loss fetch at the end
     # (~31 ms RTT through the tunnel) amortizes over scan_k*iters steps — a real
@@ -90,6 +104,7 @@ def main():
     for i in range(warmup):
         state, losses = trainer.train_steps(state, images_u8, targets)
     losses.block_until_ready()
+    hang_guard.cancel()
     log(f"compile+warmup {time.time()-t0:.1f}s, loss={float(losses[-1]):.4f}")
 
     t0 = time.time()
