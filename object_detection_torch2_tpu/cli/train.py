@@ -26,7 +26,7 @@ from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grid
 from object_detection_torch2_tpu.data.loader import DataLoader
 from object_detection_torch2_tpu.data.records import RecordDataset
 from object_detection_torch2_tpu.data.voc import PascalVOCDataset, Purpose
-from object_detection_torch2_tpu.models.vgg16 import VGG16
+from object_detection_torch2_tpu.models.vgg16 import VGG16, vgg_trainable_predicate
 from object_detection_torch2_tpu.parallel import make_mesh
 from object_detection_torch2_tpu.train import Trainer, adam_torch, exponential_epoch_schedule
 from object_detection_torch2_tpu.train import checkpoint as ckpt
@@ -189,12 +189,15 @@ def main(argv=None):
         is_trainable = (lambda path: True) if args.train_trunk else type(model).is_trainable
     else:
         # transfer_learning=True selects the 20-way classifier2 head. The
-        # reference leaves transfer_learning=False here, so its forward emits
-        # 1000-way logits against one-hot(20) targets and crashes — the
-        # classification purpose never ran as written (quirk Q12, joining
-        # Q2/Q10/Q11 on that path). This is the working intended behavior;
-        # unlike the reference's transfer flag, nothing is frozen (the trainer
-        # controls freezing, and here all params train).
+        # reference's classification purpose never ran as written (quirk Q12,
+        # joining Q2/Q10/Q11 on that path): it crashes FIRST at optimizer
+        # construction — VGG16 defines no train_params() yet train.py:97 calls
+        # net.train_params() (AttributeError, verified by execution) — and,
+        # were that patched, forward still emits 1000-way logits against
+        # one-hot(20) targets (transfer_learning left False, vgg16.py:97-100).
+        # This is the working intended behavior;
+        # unlike the reference's transfer flag, the trunk is not frozen (the
+        # trainer controls freezing; the trunk and selected head all train).
         model = VGG16(num_classes=20, transfer_learning=True, dtype=common.DTYPES[args.dtype])
         variables = None
         if weights_path.exists():
@@ -208,7 +211,9 @@ def main(argv=None):
             augment=_aug_config(args.train_aug),
             seed=args.seed,
         )
-        is_trainable = lambda path: True  # noqa: E731  (reference trains all VGG params here)
+        # trunk + selected head; the dead 1000-way head stays frozen (torch's
+        # Adam would skip its None grads — and its ~123M params need no moments)
+        is_trainable = vgg_trainable_predicate(transfer_learning=True)
 
     # resume surface (reference: train.py:85-95; quirk Q7: fresh optimizer state)
     params = ckpt.load_params_json(params_path)

@@ -140,20 +140,25 @@ def stagger_conv12_weights(w: jax.Array) -> jax.Array:
 
 
 def conv12_staggered(xp: jax.Array, w: jax.Array, b: jax.Array,
-                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+                     precision=jax.lax.Precision.HIGHEST, pad_pairs: int = 1) -> jax.Array:
     """conv_1_2 on the paired-x layout via the staggered 4-tap kernel: one
-    (1,1)-padded VALID-width conv producing W/2+1 pair columns, then half A
+    width-padded VALID conv producing W/2+pad_pairs pair columns, then half A
     keeps columns [0, W/2) and half B keeps [1, W/2] (realigning its one-pair
     stagger). Exact same math as the block-sparse paired conv at 2/3 the
-    FLOPs; the SAME-padding edge columns come from the (1,1) width padding."""
+    FLOPs; the SAME-padding edge columns come from the width padding.
+
+    pad_pairs >= 1 right-pads the intermediate width: 1 is the minimal exact
+    form (151 columns at 300); larger values round the conv's output width up
+    (e.g. 2 -> 152 = 8*19, a whole (8,128) sublane tile count) — identical
+    result, the extra zero-input columns are sliced away before the concat."""
     wpl = xp.shape[2]
     cout = w.shape[-1]
     w4 = stagger_conv12_weights(w).astype(xp.dtype)
     out = jax.lax.conv_general_dilated(
-        xp, w4, (1, 1), ((1, 1), (1, 1)),
+        xp, w4, (1, 1), ((1, 1), (1, pad_pairs)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )
-    y = jnp.concatenate([out[:, :, :wpl, :cout], out[:, :, 1:, cout:]], axis=-1)
+    y = jnp.concatenate([out[:, :, :wpl, :cout], out[:, :, 1:wpl + 1, cout:]], axis=-1)
     return y + jnp.tile(b, 2).astype(xp.dtype)
 
 
@@ -195,6 +200,12 @@ class SSD(nn.Module):
     # structural-zero FLOPs. See tools/bench_conv12.py for the v5e wall-time
     # comparison of all three formulations.
     conv12_stagger: bool = True
+    # Width padding for the staggered conv's intermediate (pair columns =
+    # W/2 + pad_pairs; extra columns sliced away — bitwise-identical result,
+    # tests/test_conv12_staggered.py). 1 = minimal (151 at 300, odd);
+    # 2 rounds to 152 = 8*19 whole sublane tiles. Benchable per-value via
+    # tools/bench_conv12.py --pad_pairs.
+    conv12_pad_pairs: int = 1
 
     def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
                       batch_mask=None):
@@ -242,7 +253,8 @@ class SSD(nn.Module):
                 xp = conv12_paired(xp.astype(self.dtype), kernel, bias).astype(self.dtype)
             elif sub == 2 and self.conv12_stagger:
                 xp = conv12_staggered(xp.astype(self.dtype), kernel.astype(self.dtype),
-                                      bias, precision=self.precision)
+                                      bias, precision=self.precision,
+                                      pad_pairs=self.conv12_pad_pairs)
             else:
                 wp = pair_conv_weights(kernel).astype(self.dtype)
                 xp = jax.lax.conv_general_dilated(

@@ -58,6 +58,11 @@ class VGG16(nn.Module):
 
     num_classes: int = 20
     transfer_learning: bool = False
+    # torch nn.Dropout() default (reference: vgg16.py:45,48,57,60). 0.0 turns
+    # the heads' dropout off while keeping train-mode BN — used by the
+    # classification trajectory-parity test, where torch and JAX dropout masks
+    # could never match bit-for-bit.
+    dropout_rate: float = 0.5
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     precision: Any = jax.lax.Precision.HIGHEST  # see models/ssd.py
@@ -74,7 +79,7 @@ class VGG16(nn.Module):
             )(x)
             if i < 3:
                 x = nn.relu(x)
-                x = nn.Dropout(0.5, deterministic=not train)(x)
+                x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
 
     @nn.compact
@@ -121,6 +126,25 @@ class VGG16(nn.Module):
             out2 = self._head(x, "classifier2", self.num_classes, train, normal_001)
             out = out2 if self.transfer_learning else out
         return out.astype(jnp.float32)
+
+
+def vgg_trainable_predicate(transfer_learning: bool):
+    """Trainable-parameter predicate for classification training: everything
+    except the UNSELECTED classifier head.
+
+    torch's Adam skips params whose grad stays None, and the head `forward`
+    doesn't run never enters the backward graph — so the (Q12-patched)
+    reference would never update or weight-decay it. Excluding it here matches
+    that exactly AND avoids allocating Adam moments for ~123M dead params (the
+    1000-way head alone is 25088x4096 + 4096x4096 + 4096x1000 Linears)."""
+    dead = "classifier_" if transfer_learning else "classifier2_"
+
+    def is_trainable(path: tuple) -> bool:
+        name = path[0] if path else ""
+        name = getattr(name, "key", name)
+        return not str(name).startswith(dead)
+
+    return is_trainable
 
 
 def cross_entropy(outputs: jax.Array, targets: jax.Array, parity_sign: bool = False) -> jax.Array:

@@ -118,6 +118,17 @@ def synth_trajectory_batch(step: int, n: int = 4, imsize: int = 300, g_pad: int 
     return images, targets
 
 
+def synth_cls_trajectory_batch(step: int, n: int = 4, imsize: int = 200,
+                               num_classes: int = 20):
+    """Deterministic (images_nchw f32 in [0,1], one-hot targets) pair for the
+    CLASSIFICATION-purpose trajectory golden (VGG16 path; imsize 200 is the
+    7x7-grid working size — quirk Q10)."""
+    rng = np.random.default_rng(0xC1A55 + 6271 * step)
+    images = rng.uniform(0.0, 1.0, (n, 3, imsize, imsize)).astype(np.float32)
+    onehot = np.eye(num_classes, dtype=np.float32)[rng.integers(0, num_classes, n)]
+    return images, onehot
+
+
 def flatten_tree(tree, prefix: str = "") -> dict:
     """Nested dict of arrays -> {'a/b/c': np.ndarray} with sorted paths."""
     out = {}

@@ -68,3 +68,13 @@ def test_edge_columns_same_padding():
     want = np.asarray(_xla_paired(xp, w, b))
     np.testing.assert_allclose(got[:, :, 0], want[:, :, 0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(got[:, :, -1], want[:, :, -1], rtol=1e-5, atol=1e-5)
+
+
+def test_pad_pairs_variants_bitwise_equal():
+    """pad_pairs only widens the intermediate conv (extra zero-input columns,
+    sliced away) — every variant must be BITWISE equal to the minimal form."""
+    xp, w, b = _case(n=2, h=10, wp=8, c=16, seed=7)
+    base = np.asarray(conv12_staggered(xp, w, b, pad_pairs=1))
+    for k in (2, 3, 8):
+        got = np.asarray(conv12_staggered(xp, w, b, pad_pairs=k))
+        np.testing.assert_array_equal(got, base, err_msg=f"pad_pairs={k}")

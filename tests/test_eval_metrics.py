@@ -113,3 +113,45 @@ def test_eval_pipeline_batch_split_invariance(goldens):
     np.testing.assert_allclose(
         np.nan_to_num(a1, nan=-1), np.nan_to_num(a2, nan=-1), atol=1e-6
     )
+
+
+def test_eval_pipeline_d2h_half_matches_f32(goldens):
+    """--d2h_half on the eval pipeline casts ONLY the fetched `scores` leaf to
+    float16 AFTER all device-side selection — `correct` flags, class layout and
+    n_valid must be identical, scores within the ~5e-4 f16 quantization."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_detection_torch2_tpu.cli.evaluate import build_eval_pipeline
+    from object_detection_torch2_tpu.models.convert import ssd_variables_from_torch
+    from object_detection_torch2_tpu.models.ssd import SSD
+    from object_detection_torch2_tpu.utils.testing import (
+        synth_scaled_state_dict_from_manifest,
+        synth_targets,
+    )
+
+    g = goldens("ssd_forward_pinned")
+    sd = synth_scaled_state_dict_from_manifest(g["manifest_keys"], g["manifest_shapes"])
+    variables = jax.tree.map(jnp.asarray, ssd_variables_from_torch(sd))
+
+    imsize = 264
+    rng = np.random.default_rng(41)
+    images_u8 = rng.integers(0, 256, (4, imsize, imsize, 3), dtype=np.uint8)
+    gts = synth_targets(rng, 4, rng.integers(1, 5, 4), g_pad=6)
+
+    model = SSD(num_classes=21)
+    kw = dict(use_batch_stats=False, imsize=imsize, num_classes=20, max_detections=64)
+    mf, nf = build_eval_pipeline(model, **kw)(variables, jnp.asarray(images_u8), jnp.asarray(gts), 4)
+    mh, nh = build_eval_pipeline(model, d2h_half=True, **kw)(
+        variables, jnp.asarray(images_u8), jnp.asarray(gts), 4)
+
+    np.testing.assert_array_equal(np.asarray(nf), np.asarray(nh))
+    mf, mh = jax.device_get(mf), jax.device_get(mh)
+    assert mh["scores"].dtype == np.float16
+    for key in mf:
+        if key == "scores":
+            np.testing.assert_allclose(mf[key], np.asarray(mh[key], np.float32),
+                                       rtol=1e-3, atol=1e-4)
+        else:
+            np.testing.assert_array_equal(np.asarray(mf[key]), np.asarray(mh[key]),
+                                          err_msg=key)

@@ -66,6 +66,10 @@ def main():
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--pad_pairs", type=int, nargs="*", default=[1],
+                        help="staggered-conv intermediate width paddings to sweep "
+                             "(bitwise-identical results; 1=minimal/151 cols, "
+                             "2=152=8*19 whole sublane tiles)")
     args = parser.parse_args()
 
     import jax
@@ -88,14 +92,20 @@ def main():
     def xla_fn(x, w, b):
         return _xla_paired(x, w, b).astype(x.dtype)
 
-    def stag_fn(x, w, b):
-        from object_detection_torch2_tpu.models.ssd import conv12_staggered
+    from object_detection_torch2_tpu.models.ssd import conv12_staggered
 
-        return conv12_staggered(x, w, b).astype(x.dtype)
+    def make_stag_fn(pad):
+        def stag_fn(x, w, b):
+            return conv12_staggered(x, w, b, pad_pairs=pad).astype(x.dtype)
+        return stag_fn
 
     ms_xla = timed_chain(xla_fn, x, w, b, args.iters)
-    ms_stag = timed_chain(stag_fn, x, w, b, args.iters)
-    ms_pal = timed_chain(pallas_fn, x, w, b, args.iters)
+    stag_by_pad = {
+        pad: timed_chain(make_stag_fn(pad), x, w, b, args.iters) for pad in args.pad_pairs
+    }
+    ms_stag = min(stag_by_pad.values())
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ms_pal = timed_chain(pallas_fn, x, w, b, args.iters) if on_tpu else float("nan")
 
     dense_gflop = 2 * n * h * wp * 2 * 9 * c * c / 1e9  # useful (unpaired) conv FLOPs
     rec = {
@@ -103,12 +113,13 @@ def main():
         "dtype": args.dtype,
         "xla_paired_ms": round(ms_xla, 4),
         "xla_staggered_ms": round(ms_stag, 4),
-        "pallas_ms": round(ms_pal, 4),
+        "staggered_ms_by_pad_pairs": {str(k): round(v, 4) for k, v in stag_by_pad.items()},
+        "pallas_ms": round(ms_pal, 4) if ms_pal == ms_pal else None,
         "staggered_speedup_vs_paired": round(ms_xla / ms_stag, 3),
         "useful_gflop": round(dense_gflop, 2),
         "xla_effective_tflops": round(dense_gflop / ms_xla, 1),
         "staggered_effective_tflops": round(dense_gflop / ms_stag, 1),
-        "pallas_effective_tflops": round(dense_gflop / ms_pal, 1),
+        "pallas_effective_tflops": round(dense_gflop / ms_pal, 1) if ms_pal == ms_pal else None,
         "note": "effective TFLOP/s = USEFUL (dense) flops / wall; "
                 "XLA paired does 2x useful, staggered & pallas 4/3x",
     }

@@ -28,6 +28,7 @@ from object_detection_torch2_tpu.utils.testing import (  # noqa: E402
     pack_manifest,
     synth_array,
     synth_array_scaled,
+    synth_cls_trajectory_batch,
     synth_trajectory_batch,
 )
 
@@ -463,6 +464,101 @@ def golden_train_trajectory(steps=20, steps_per_epoch=5, lr=1e-3, weight_decay=5
     print("trajectory losses:", [round(v, 4) for v in losses])
 
 
+def golden_vgg_trajectory(steps=20, steps_per_epoch=5, lr=1e-5, weight_decay=5e-4,
+                          gamma=0.7, bs=4, imsize=200):
+    """CLASSIFICATION-purpose analog of golden_train_trajectory: the reference's
+    `--purpose classification` train step, Q12-patched to run at all — VGG16
+    has no train_params() (train.py:97 raises AttributeError, verified by
+    execution) and forward's 1000-way `classifier` head can't meet one-hot(20)
+    targets — so, matching cli/train.py's intended-behavior reading: Adam over
+    `net.parameters()` (torch skips the unused head's None grads), the 20-way
+    `classifier2` head selected (transfer_learning set post-ctor so nothing is
+    frozen), and the Q2 sign-bug patched (loss = MINUS the reference's
+    `sum(t*log_softmax).mean()`, i.e. proper CE). Dropout is p=0 for the golden:
+    torch and JAX dropout masks can never match bit-for-bit; the rest of the
+    step — normalize, 13 conv+BN blocks under train-mode batch stats, the Q10
+    7x7 flatten at imsize 200, Linear heads, CE, backward, Adam, ExponentialLR —
+    is pinned exactly like the detection trajectory.
+
+    lr is 1e-5 (not the recipe's 1e-3) because the recipe lr is CHAOTIC on
+    this init: Adam's first bias-corrected step moves every element of the
+    25088-wide classifier2 head ~lr, swinging the logits by O(25), and the
+    loss spikes to ~290 — after which torch/JAX f32 noise (step-0 parity
+    5.3e-7 rel, measured) amplifies to 30% by step 16. Trajectory-parity
+    needs a contractive regime to compose 20 steps measurably; schedule
+    semantics still get a 3x lr change via gamma=0.7."""
+    from object_detection_torch2_tpu.models.convert import vgg16_variables_from_torch
+
+    torch.manual_seed(0)
+    vgg = VGG16(num_classes=20)
+    sd = vgg.state_dict()
+    vgg.load_state_dict({k: torch.from_numpy(synth_array_scaled(k, tuple(v.shape)))
+                         for k, v in sd.items()})
+    vgg.transfer_learning = True  # head choice only; set post-ctor -> no freeze
+    for m in vgg.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    optimizer = torch.optim.Adam(vgg.parameters(), lr=lr, weight_decay=weight_decay)
+    scheduler = torch.optim.lr_scheduler.ExponentialLR(optimizer, gamma=gamma)
+
+    losses, lrs = [], []
+    grad_fp_keys = grad_fp = None
+    for step in range(steps):
+        images, targets = synth_cls_trajectory_batch(step, n=bs, imsize=imsize)
+        optimizer.zero_grad()
+        outputs = vgg(torch.from_numpy(images))
+        loss = -vgg.loss(outputs, torch.from_numpy(targets))  # Q2 sign patched
+        loss.backward()
+        if step == 0:
+            grad_sd = {k: (v.grad if v.grad is not None else torch.zeros_like(v)).numpy()
+                       for k, v in vgg.named_parameters()}
+            for k, v in sd.items():
+                if k not in grad_sd:
+                    grad_sd[k] = np.zeros(tuple(v.shape), np.float32)
+            gvars = vgg16_variables_from_torch(grad_sd)
+            gtrain = {k: v for k, v in gvars["params"].items() if _is_vgg_trainable_name(k)}
+            grad_fp_keys, grad_fp = fingerprint_tree(gtrain)
+        optimizer.step()
+        lrs.append(optimizer.param_groups[0]["lr"])
+        losses.append(loss.item())
+        if (step + 1) % steps_per_epoch == 0:
+            scheduler.step()
+
+    final_sd = {k: v.numpy() for k, v in vgg.state_dict().items()}
+    fvars = vgg16_variables_from_torch(final_sd)
+    # ALL params incl. the dead 1000-way head — torch never touched it (None
+    # grads skipped), and the replay's frozen partition must leave it at init
+    param_fp_keys, param_fp = fingerprint_tree(fvars["params"])
+    bs_fp_keys, bs_fp = fingerprint_tree(fvars["batch_stats"])
+
+    images0, _ = synth_cls_trajectory_batch(0, n=bs, imsize=imsize)
+    with torch.no_grad():
+        vgg.eval()
+        out_eval_after = vgg(torch.from_numpy(images0)).numpy()
+        vgg.train()
+
+    keys, shapes = pack_manifest(sd)
+    np.savez(
+        OUT / "vgg_trajectory.npz",
+        steps=np.int64(steps), steps_per_epoch=np.int64(steps_per_epoch), bs=np.int64(bs),
+        imsize=np.int64(imsize),
+        lr=np.float64(lr), weight_decay=np.float64(weight_decay), gamma=np.float64(gamma),
+        losses=np.array(losses, np.float64), lrs=np.array(lrs, np.float64),
+        grad_fp_keys=grad_fp_keys, grad_fp=grad_fp,
+        param_fp_keys=param_fp_keys, param_fp=param_fp,
+        bs_fp_keys=bs_fp_keys, bs_fp=bs_fp,
+        out_eval_after=out_eval_after,
+        manifest_keys=keys, manifest_shapes=shapes,
+    )
+    print("vgg trajectory losses:", [round(v, 4) for v in losses])
+
+
+def _is_vgg_trainable_name(name: str) -> bool:
+    """Flax-layout analog of vgg_trainable_predicate(transfer_learning=True):
+    everything except the dead 1000-way `classifier` head."""
+    return not name.startswith("classifier_")
+
+
 def _is_trainable_name(name: str) -> bool:
     """Mirror of models.ssd.SSD.is_trainable on converted layer names."""
     if name.startswith("det_"):
@@ -488,6 +584,7 @@ def main():
     golden_nms_ties()
     golden_eval()
     golden_train_trajectory()
+    golden_vgg_trajectory()
     print("all goldens written to", OUT)
 
 
