@@ -41,6 +41,14 @@ def parse_args(argv=None):
                              "≲0.15 px at 300) — halves the per-batch device->host payload, "
                              "which bounds throughput through bandwidth-limited runtimes; "
                              "default f32 is bit-exact")
+    parser.add_argument("--export_pipeline", type=str, default=None,
+                        help="instead of running inference, serialize the whole pipeline "
+                             "(weights embedded) to this path as a portable StableHLO "
+                             "serving artifact (serving.py; reloadable without model code) "
+                             "and exit")
+    parser.add_argument("--export_platforms", type=str, default="tpu,cpu",
+                        help="comma-separated lowering platforms baked into "
+                             "--export_pipeline artifacts")
     return parser.parse_args(argv)
 
 
@@ -62,6 +70,21 @@ def main(argv=None):
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
     variables = jax.tree.map(jax.numpy.asarray, variables)
+
+    if args.export_pipeline:
+        from object_detection_torch2_tpu.serving import export_detection_pipeline
+
+        meta = export_detection_pipeline(
+            model, variables, args.export_pipeline,
+            batch_size=args.batch_size, use_batch_stats=args.bn_mode == "batch",
+            imsize=args.imsize, max_detections=args.max_detections,
+            platforms=tuple(p.strip() for p in args.export_platforms.split(",") if p.strip()),
+            d2h_half=args.d2h_half,
+        )
+        print(f"exported {meta['bytes'] / 1e6:.1f} MB pipeline artifact to "
+              f"{args.export_pipeline} (platforms {meta['platforms']})")
+        return
+
     run = build_detection_pipeline(
         model, args.bn_mode == "batch", args.imsize, max_detections=args.max_detections, mesh=mesh,
         d2h_half=args.d2h_half,

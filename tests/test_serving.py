@@ -1,0 +1,94 @@
+"""StableHLO serving artifacts (serving.py): export -> reload -> parity.
+
+The artifact embeds the weights as constants, so XLA folds/fuses differently
+than the live pipeline — values drift at the ulp level (measured 1.1e-6 on
+trained-like weights) while every SELECTION (class ids, detection counts,
+n_valid) must be identical.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from object_detection_torch2_tpu.infer import build_detection_pipeline, unpack_detections
+from object_detection_torch2_tpu.models.convert import ssd_variables_from_torch
+from object_detection_torch2_tpu.models.ssd import SSD
+from object_detection_torch2_tpu.serving import (
+    export_detection_pipeline,
+    load_detection_pipeline,
+)
+from object_detection_torch2_tpu.utils.testing import synth_scaled_state_dict_from_manifest
+
+
+@pytest.fixture(scope="module")
+def pinned_variables(goldens):
+    g = goldens("ssd_forward_pinned")
+    sd = synth_scaled_state_dict_from_manifest(g["manifest_keys"], g["manifest_shapes"])
+    return jax.tree.map(jnp.asarray, ssd_variables_from_torch(sd))
+
+
+def test_export_reload_parity(pinned_variables, tmp_path):
+    model = SSD(num_classes=21)
+    path = tmp_path / "ssd.shlo"
+    meta = export_detection_pipeline(
+        model, pinned_variables, path, batch_size=2, imsize=264,
+        max_detections=32, platforms=("cpu",),
+    )
+    assert path.exists() and os.path.getsize(path) == meta["bytes"]
+    assert meta["imsize"] == 264 and meta["batch_size"] == 2
+
+    run, meta2 = load_detection_pipeline(path)
+    assert meta2 == meta
+
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 264, 264, 3)).astype(np.uint8)
+    packed, nv = run(imgs, 2)
+    ref = build_detection_pipeline(model, use_batch_stats=False, imsize=264, max_detections=32)
+    packed_ref, nv_ref = ref(pinned_variables, jnp.asarray(imgs), 2)
+
+    a, b = np.asarray(packed), np.asarray(packed_ref)
+    np.testing.assert_array_equal(np.asarray(nv), np.asarray(nv_ref))
+    np.testing.assert_array_equal(a[..., 4], b[..., 4])  # class ids
+    np.testing.assert_array_equal(a[..., 5] > 0, b[..., 5] > 0)  # kept sets
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # the packed contract feeds the normal host-side unpackers
+    boxes, classes, scores = unpack_detections(a)
+    assert boxes.shape == (2, 32, 4) and classes.dtype == np.int32
+
+
+def test_export_ragged_mask(pinned_variables, tmp_path):
+    """n_real < batch masks pad images exactly like the live pipeline."""
+    model = SSD(num_classes=21)
+    path = tmp_path / "ssd_ragged.shlo"
+    export_detection_pipeline(
+        model, pinned_variables, path, batch_size=2, imsize=264,
+        max_detections=16, platforms=("cpu",),
+    )
+    run, _ = load_detection_pipeline(path)
+    imgs = np.random.default_rng(1).integers(0, 255, (2, 264, 264, 3)).astype(np.uint8)
+    packed, nv = run(imgs, 1)
+    packed = np.asarray(packed)
+    # pad image: scores and class ids zeroed (box coords are inert leftovers —
+    # score 0 drops them in every consumer, same as the live pipeline)
+    assert (packed[1, :, 4:] == 0).all(), "pad image's classes/scores must be zeroed"
+    assert int(np.asarray(nv)[1]) == 0
+
+
+def test_export_multi_platform_lowering(pinned_variables, tmp_path):
+    """Cross-platform AOT lowering: a tpu+cpu artifact must export (and run on
+    the CPU of this host) WITHOUT TPU hardware present — jax.export lowers for
+    declared platforms ahead of time."""
+    model = SSD(num_classes=21)
+    path = tmp_path / "ssd_xplat.shlo"
+    meta = export_detection_pipeline(
+        model, pinned_variables, path, batch_size=1, imsize=264,
+        max_detections=8, platforms=("tpu", "cpu"),
+    )
+    assert meta["platforms"] == ["tpu", "cpu"]
+    run, _ = load_detection_pipeline(path)
+    imgs = np.random.default_rng(2).integers(0, 255, (1, 264, 264, 3)).astype(np.uint8)
+    packed, nv = run(imgs, 1)
+    assert np.isfinite(np.asarray(packed)).all()
