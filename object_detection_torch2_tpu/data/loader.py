@@ -158,6 +158,7 @@ class DataLoader:
         self.epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        failure: list[BaseException] = []
         stacked = self.stack_steps > 1
         source = self._stacked_host_batches if stacked else self._host_batches
 
@@ -165,6 +166,8 @@ class DataLoader:
             try:
                 for batch in source():
                     q.put(self._place(batch, batch_axis=1 if stacked else 0))
+            except BaseException as e:  # re-raised in the consumer — a decode
+                failure.append(e)       # error must not silently end the epoch
             finally:
                 q.put(sentinel)
 
@@ -173,5 +176,7 @@ class DataLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if failure:
+                    raise failure[0]
                 break
             yield item

@@ -178,3 +178,24 @@ def test_pack_voc_num_workers_equivalence(tmp_path):
     np.testing.assert_array_equal(np.asarray(r0.images), np.asarray(r2.images))
     np.testing.assert_array_equal(np.asarray(r0.gts), np.asarray(r2.gts))
     assert r0.meta["seen_max_gt"] == r2.meta["seen_max_gt"]
+
+
+def test_loader_propagates_producer_errors():
+    """A decode error mid-epoch must raise in the consumer, not silently
+    truncate the epoch (the prefetch thread used to swallow it)."""
+    import pytest
+
+    from object_detection_torch2_tpu.data.loader import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("corrupt image")
+            return np.zeros((8, 8, 3), np.uint8), np.zeros((1, 25), np.float32)
+
+    loader = DataLoader(Broken(), batch_size=2, max_gt=1)
+    with pytest.raises(OSError, match="corrupt image"):
+        list(loader)
