@@ -133,12 +133,15 @@ def _blocked_keep_sorted(sorted_boxes: jax.Array, sorted_valid: jax.Array,
     return keep_sorted[:, :p]
 
 
-# static candidate bound for the compacted fast path: must exceed the positive
-# (score > 0) count of every image in the batch or the full path runs instead
-# (lax.cond keeps the result exact either way). Trained SSDs leave a few dozen
-# positive anchors; 1024 is ~100x headroom while cutting the sweep's cross-IoU
-# width and replacing the full (N, 8732) argsort with top_k.
-COMPACT = 1024
+# static candidate bounds for the compacted fast paths: a tier applies only
+# when the positive (score > 0) count of EVERY image in the batch fits it —
+# checked at runtime, with lax.cond falling through to the next tier (and
+# finally the full path), so the result is exact at any density. Trained SSDs
+# leave a few dozen positive anchors (~11/img measured on the held-out synth
+# set), so the 128 tier (ONE sweep block, no cross-block pass) is the common
+# case; 1024 covers dense scenes; the full path covers untrained/worst case.
+COMPACT_TIERS = (128, 1024)
+COMPACT = COMPACT_TIERS[-1]  # kept for back-compat with tests/tools
 
 
 def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
@@ -147,14 +150,15 @@ def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 
     boxes: (N, P, 4) center-form, sort_scores: (N, P) (entries <= 0 never kept)
     -> bool (N, P) in the ORIGINAL anchor order.
 
-    Two exact paths, chosen at runtime (lax.cond):
-    - compacted (trained-model case): only score > 0 candidates participate in
-      greedy NMS, so when every image has <= COMPACT positives it suffices to
-      top_k-compact to COMPACT candidates and sweep those. top_k's tie rule
-      (lowest index first among equal scores) matches the stable argsort of the
-      full path, so the keep set is IDENTICAL, at ~1/8 the sweep width and
-      without the dominant full-width sort (measured 7.7 -> ~1.5 ms/batch at
-      bs32 x 8732, trained-like sparsity).
+    Exact paths, chosen at runtime (nested lax.cond, smallest first):
+    - compacted tiers (trained-model case): only score > 0 candidates
+      participate in greedy NMS, so when every image has <= T positives it
+      suffices to top_k-compact to T candidates and sweep those. top_k's tie
+      rule (lowest index first among equal scores) matches the stable argsort
+      of the full path, so the keep set is IDENTICAL, at a fraction of the
+      sweep width and without the dominant full-width sort (1024 tier measured
+      7.7 -> ~1.0 ms/batch at bs32 x 8732, trained-like sparsity; the 128 tier
+      is a single self-suppression block).
     - full: stable argsort over all P candidates (any positive count).
     """
     n, p, _ = boxes.shape
@@ -168,19 +172,29 @@ def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 
             jnp.zeros((n, p), jnp.bool_), order, keep_sorted, axis=-1, inplace=False
         )
 
-    if p <= COMPACT:
+    tiers = [t for t in COMPACT_TIERS if t < p]
+    if not tiers:
         return full_path(None)
 
-    def fast_path(_):
-        vals, idx = jax.lax.top_k(sort_scores, COMPACT)  # descending, ties: lowest index first
-        cboxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-        keep_c = _blocked_keep_sorted(cboxes, vals > 0.0, iou_thresh)
-        return jnp.put_along_axis(
-            jnp.zeros((n, p), jnp.bool_), idx, keep_c, axis=-1, inplace=False
-        )
+    def tier_path(t):
+        def fast_path(_):
+            vals, idx = jax.lax.top_k(sort_scores, t)  # descending, ties: lowest index first
+            cboxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+            keep_c = _blocked_keep_sorted(cboxes, vals > 0.0, iou_thresh)
+            return jnp.put_along_axis(
+                jnp.zeros((n, p), jnp.bool_), idx, keep_c, axis=-1, inplace=False
+            )
+        return fast_path
 
     max_pos = jnp.max(jnp.sum(sort_scores > 0.0, axis=-1))
-    return jax.lax.cond(max_pos <= COMPACT, fast_path, full_path, None)
+    chosen = full_path
+    for t in sorted(tiers, reverse=True):
+        def wrap(t=t, fallback=chosen):
+            def cond(_):
+                return jax.lax.cond(max_pos <= t, tier_path(t), fallback, None)
+            return cond
+        chosen = wrap()
+    return chosen(None)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh",))

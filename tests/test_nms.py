@@ -126,3 +126,54 @@ def test_blocked_compact_boundary():
         blocked = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores)))
         serial = np.asarray(nms_keep_mask_serial(jnp.asarray(boxes), jnp.asarray(scores)))
         np.testing.assert_array_equal(blocked, serial)
+
+
+def test_blocked_compact_tier_boundaries():
+    """Every tier boundary (ops/nms.py COMPACT_TIERS): exactly T positives
+    takes tier T; T+1 falls through to the next tier (or the full path) —
+    all must equal the serial loop."""
+    from object_detection_torch2_tpu.ops.nms import COMPACT_TIERS
+
+    rng = np.random.default_rng(15)
+    p = 2048
+    for t in COMPACT_TIERS:
+        for n_pos in (t, t + 1):
+            if n_pos > p:
+                continue
+            boxes = np.zeros((1, p, 4), np.float32)
+            boxes[..., :2] = rng.uniform(0, 1, (1, p, 2))
+            boxes[..., 2:] = rng.uniform(0.02, 0.2, (1, p, 2))
+            scores = np.zeros((1, p), np.float32)
+            idx = rng.choice(p, n_pos, replace=False)
+            scores[0, idx] = rng.uniform(0.1, 1.0, n_pos)
+            blocked = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores)))
+            serial = np.asarray(nms_keep_mask_serial(jnp.asarray(boxes), jnp.asarray(scores)))
+            np.testing.assert_array_equal(blocked, serial, err_msg=f"tier {t}, n_pos {n_pos}")
+
+
+def test_blocked_compact_tier128_suppression_chain():
+    """The 128 tier is a single self-suppression block — force a deep
+    suppression chain (overlapping ladder) inside it and a mixed batch where
+    one image is dense enough (>128) that the BATCH routes to the 1024 tier."""
+    p = 8732
+    # image 0: a 60-box ladder where box k overlaps k+1 (chain depth 60)
+    boxes = np.zeros((2, p, 4), np.float32)
+    scores = np.zeros((2, p), np.float32)
+    for k in range(60):
+        boxes[0, k] = [0.2 + 0.012 * k, 0.5, 0.08, 0.3]
+        scores[0, k] = 1.0 - 0.01 * k
+    # image 1: 200 positives -> max_pos > 128, whole batch takes the 1024 tier
+    rng = np.random.default_rng(16)
+    idx = rng.choice(p, 200, replace=False)
+    boxes[1, idx, :2] = rng.uniform(0.1, 0.9, (200, 2))
+    boxes[1, idx, 2:] = rng.uniform(0.05, 0.2, (200, 2))
+    scores[1, idx] = rng.uniform(0.1, 1.0, 200)
+
+    blocked = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores)))
+    serial = np.asarray(nms_keep_mask_serial(jnp.asarray(boxes), jnp.asarray(scores)))
+    np.testing.assert_array_equal(blocked, serial)
+
+    # the ladder alone (max_pos = 60) routes through tier 128 — same answer
+    blocked0 = np.asarray(nms_keep_mask(jnp.asarray(boxes[:1]), jnp.asarray(scores[:1])))
+    serial0 = np.asarray(nms_keep_mask_serial(jnp.asarray(boxes[:1]), jnp.asarray(scores[:1])))
+    np.testing.assert_array_equal(blocked0, serial0)
