@@ -61,12 +61,15 @@ def main():
         t2 = min(queue_n(2 * iters) for _ in range(3))
         return (t2 - t1) / iters * 1000
 
-    results = {}
-    for name, fn in [
+    impls = [
         ("blocked-xla", nms_mod.nms_keep_mask),
         ("pallas", nms_keep_mask_pallas),
         ("serial", nms_mod.nms_keep_mask_serial),
-    ]:
+    ]
+    if jax.devices()[0].platform != "tpu":  # the Pallas kernel is TPU-only
+        impls = [(n, f) for n, f in impls if n != "pallas"]
+    results = {}
+    for name, fn in impls:
         f = jax.jit(fn)
         t0 = time.time()
         r = f(boxes_d, scores_d)
@@ -81,8 +84,9 @@ def main():
               f"sparse {times['sparse']:7.2f} ms   kept {int(results[name].sum())}", flush=True)
 
     np.testing.assert_array_equal(results["blocked-xla"], results["serial"])
-    np.testing.assert_array_equal(results["pallas"], results["serial"])
-    print("all three implementations bit-identical")
+    if "pallas" in results:
+        np.testing.assert_array_equal(results["pallas"], results["serial"])
+    print(f"all {len(results)} implementations bit-identical")
 
 
 if __name__ == "__main__":
