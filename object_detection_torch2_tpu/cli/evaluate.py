@@ -66,7 +66,13 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
     images (K, N, H, W, 3), gts (K, N, G, 25), n_real (K,) — scanning K batches
     inside ONE compiled program (--batches_per_dispatch) with per-micro-batch
     semantics unchanged; results gain a leading K axis."""
-    detect = build_detection_pipeline(model, use_batch_stats, imsize, max_detections=max_detections)
+    # The inner detect is built mesh=None (run_dp below shards via input
+    # placement instead), so it cannot see whether the batch is sharded —
+    # force the XLA dense-NMS backend whenever THIS pipeline has a mesh
+    # (GSPMD cannot partition the Pallas dense branch, see
+    # build_detection_pipeline).
+    detect = build_detection_pipeline(model, use_batch_stats, imsize, max_detections=max_detections,
+                                      nms_dense_backend="xla" if mesh is not None else None)
 
     def body(variables, images_u8, gts, n_real):
         packed, n_valid = detect(variables, images_u8, n_real)

@@ -40,7 +40,8 @@ class Detections:
 
 def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
                              iou_thresh: float = 0.5, max_detections: int = 200,
-                             mesh=None, d2h_half: bool = False):
+                             mesh=None, d2h_half: bool = False,
+                             nms_dense_backend: str | None = None):
     """One jitted program: (variables, images_u8 (N,H,W,3), n_real) ->
     (packed (N,K,6), n_valid (N,)).
 
@@ -73,6 +74,13 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
     semantics are IDENTICAL to K separate dispatches (unlike simply raising the
     batch size, which would widen the statistics window — quirk Q9 parity).
 
+    nms_dense_backend selects the NMS full-sweep backend (ops/nms.py
+    DENSE_BACKEND). None = auto on a single device (the Pallas kernel takes
+    the dense fallback on TPU) but "xla" whenever the batch may be sharded
+    (mesh is not None here, or always in build_eval_pipeline, whose caller
+    shards via input placement): GSPMD cannot partition the opaque Mosaic
+    call, so the kernel branch would all-gather and compute replicated.
+
     d2h_half=True returns the packed results as float16 — through a remote
     runtime the device->host link's BANDWIDTH (not just its round-trip) bounds
     serving throughput (~7 ms/batch for the (32, 200, 6) f32 payload at the
@@ -82,6 +90,8 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
     score < 6e-8 flush to zero and are dropped. Default False = bit-exact f32
     (the reference-parity surface)."""
     df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
+    if nms_dense_backend is None and mesh is not None:
+        nms_dense_backend = "xla"
 
     def body(variables, images_u8, n_real):
         mask = (jnp.arange(images_u8.shape[0]) < n_real).astype(jnp.float32)
@@ -93,7 +103,8 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
         )
         out = out[0] if isinstance(out, tuple) else out
         post = jnp.concatenate([decode_boxes(out, df), calc_scores(out)], axis=-1)
-        post = non_maximum_suppression(post, iou_thresh=iou_thresh)
+        post = non_maximum_suppression(post, iou_thresh=iou_thresh,
+                                       dense_backend=nms_dense_backend)
         confs = post[..., 4:]
         n_valid = jnp.sum((confs.max(-1) > 0) & (jnp.argmax(confs, -1) != 0) & (mask > 0)[:, None], axis=-1)
         boxes, classes, scores = top_k_detections(post, max_detections, batch_mask=mask)

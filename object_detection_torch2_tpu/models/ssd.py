@@ -203,9 +203,10 @@ class SSD(nn.Module):
     # Width padding for the staggered conv's intermediate (pair columns =
     # W/2 + pad_pairs; extra columns sliced away — bitwise-identical result,
     # tests/test_conv12_staggered.py). 1 = minimal (151 at 300, odd);
-    # 2 rounds to 152 = 8*19 whole sublane tiles. Benchable per-value via
-    # tools/bench_conv12.py --pad_pairs.
-    conv12_pad_pairs: int = 1
+    # 2 rounds to 152 = 8*19 whole sublane tiles. Measured on v5e (bs32 bf16,
+    # tools/bench_conv12.py --pad_pairs 1 2 4): 2.908 / 2.902 / 2.870 ms —
+    # 4 (=154 columns) is the default (+1.3% on this conv).
+    conv12_pad_pairs: int = 4
 
     def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
                       batch_mask=None):
@@ -229,7 +230,7 @@ class SSD(nn.Module):
         )(x, mask=batch_mask)
         return nn.relu(x)
 
-    def _block1_paired(self, x, use_batch_stats, batch_mask):
+    def _block1_paired(self, x, use_batch_stats, batch_mask, up_to=None):
         """conv_1_1 -> bn -> relu -> conv_1_2 -> bn -> relu -> pool_1, computed
         in the paired-x layout (N, H, W/2, 2C). Parameters and batch_stats keep
         their standard shapes/paths (checkpoint-identical to the plain path);
@@ -266,6 +267,8 @@ class SSD(nn.Module):
                 dtype=self.dtype, fold=2, name=f"bn_1_{sub}",
             )(xp, mask=batch_mask)
             xp = nn.relu(xp)
+            if up_to == "1_1" and sub == 1:
+                return xp  # '1_2' falls through so the prefix includes pool_1
         # pool_1 = max over the h-pair (a (2,1)/(2,1) window pool, layout-
         # friendly) then over the two x phases (a channel-slice max). A naive
         # 6-D reshape+max here costs ~5ms in layout-change copies at bs32.
@@ -275,9 +278,16 @@ class SSD(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True, use_batch_stats: bool | None = None,
-                 batch_mask: jax.Array | None = None):
+                 batch_mask: jax.Array | None = None, up_to: str | None = None):
         """`batch_mask` (N,) marks real rows of a padded (ragged final) batch so
-        batch statistics exclude the pad rows — see models/bn.py docstring."""
+        batch statistics exclude the pad rows — see models/bn.py docstring.
+
+        `up_to` (static; profiling/debug only): return the activation right
+        after the named layer ('1_1'..'5_3' trunk convs incl. the block's pool
+        when it is the block's last conv, '6_1'..'11_2' extras) instead of the
+        detector outputs — tools/bench_layers.py differences successive
+        prefixes to attribute forward wall time per layer in real fusion
+        context."""
         if use_batch_stats is None:
             use_batch_stats = True  # parity default: reference never leaves train-mode BN (Q9)
         n = x.shape[0]
@@ -291,7 +301,9 @@ class SSD(nn.Module):
         # path when the spatial size allows (see paired_block1 above)
         blocks = VGG_BLOCKS
         if self.paired_block1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = self._block1_paired(x, use_batch_stats, batch_mask)
+            x = self._block1_paired(x, use_batch_stats, batch_mask, up_to=up_to)
+            if up_to in ("1_1", "1_2"):
+                return x
             blocks = VGG_BLOCKS[1:]
         for block, channels, pool in blocks:
             for sub, ch in enumerate(channels, start=1):
@@ -299,14 +311,20 @@ class SSD(nn.Module):
                 x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats, batch_mask)
                 if suffix in taps:
                     feature_maps[suffix] = x
+                if up_to == suffix and sub < len(channels):
+                    return x
             if pool is not None:
                 x = max_pool_torch(x, pad=1 if pool == "M_P" else 0)
+            if up_to == f"{block}_{len(channels)}":
+                return x
 
         # extra layers (reference: ssd.py:46-68)
         for suffix, kernel, ch, stride, pad in EXTRA_LAYERS:
             x = self._conv_bn_relu(x, suffix, ch, kernel, stride, pad, train, use_batch_stats, batch_mask)
             if suffix in taps:
                 feature_maps[suffix] = x
+            if up_to == suffix:
+                return x
 
         # detector heads + H-major flatten/concat (reference: ssd.py:70-77, 100-105)
         outputs = []

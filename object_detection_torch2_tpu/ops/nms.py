@@ -133,6 +133,35 @@ def _blocked_keep_sorted(sorted_boxes: jax.Array, sorted_valid: jax.Array,
     return keep_sorted[:, :p]
 
 
+# Dense-regime backend for the FULL (non-compacted) sweep. "auto" resolves per
+# lowering platform (`lax.platform_dependent`): the Pallas VMEM-resident kernel
+# on TPU — measured 9.98 ms vs blocked-XLA's 14.96 ms at bs32 x 8732 dense
+# (tools/bench_nms.py, honest differenced-queue timing; the win is HBM traffic:
+# XLA re-streams the box table per cross-suppression contraction, the kernel
+# keeps it VMEM-resident) — and blocked-XLA everywhere else. The SPARSE tiers
+# below always use blocked-XLA (compaction makes the sweep tiny; XLA wins that
+# regime 1.56 vs 5.77 ms). Callers whose arrays are sharded over a multi-chip
+# mesh must pass dense_backend="xla": GSPMD cannot partition an opaque Mosaic
+# custom call, so the kernel branch would be computed replicated after an
+# all-gather (correct but wasteful) — see infer.build_detection_pipeline.
+DENSE_BACKEND = "auto"  # "auto" | "xla" | "pallas"
+
+
+def _dense_keep_sorted(sorted_boxes: jax.Array, sorted_valid: jax.Array,
+                       iou_thresh: float, backend: str) -> jax.Array:
+    xla = functools.partial(_blocked_keep_sorted, iou_thresh=iou_thresh)
+    if backend == "xla":
+        return xla(sorted_boxes, sorted_valid)
+    from object_detection_torch2_tpu.ops.nms_pallas import pallas_keep_sorted
+
+    kernel = functools.partial(pallas_keep_sorted, iou_thresh=iou_thresh)
+    if backend == "pallas":
+        return kernel(sorted_boxes, sorted_valid)
+    if backend != "auto":
+        raise ValueError(f"dense_backend must be 'auto', 'xla' or 'pallas', got {backend!r}")
+    return jax.lax.platform_dependent(sorted_boxes, sorted_valid, tpu=kernel, default=xla)
+
+
 # static candidate bounds for the compacted fast paths: a tier applies only
 # when the positive (score > 0) count of EVERY image in the batch fits it —
 # checked at runtime, with lax.cond falling through to the next tier (and
@@ -144,7 +173,8 @@ COMPACT_TIERS = (128, 1024)
 COMPACT = COMPACT_TIERS[-1]  # kept for back-compat with tests/tools
 
 
-def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
+def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5,
+                  dense_backend: str | None = None) -> jax.Array:
     """Blocked exact greedy keep mask.
 
     boxes: (N, P, 4) center-form, sort_scores: (N, P) (entries <= 0 never kept)
@@ -159,15 +189,18 @@ def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 
       sweep width and without the dominant full-width sort (1024 tier measured
       7.7 -> ~1.0 ms/batch at bs32 x 8732, trained-like sparsity; the 128 tier
       is a single self-suppression block).
-    - full: stable argsort over all P candidates (any positive count).
+    - full: stable argsort over all P candidates (any positive count); the
+      sweep backend is `dense_backend` (None -> module DENSE_BACKEND: Pallas
+      kernel on TPU, blocked-XLA elsewhere — see DENSE_BACKEND above).
     """
     n, p, _ = boxes.shape
+    backend = DENSE_BACKEND if dense_backend is None else dense_backend
 
     def full_path(_):
         order = jnp.argsort(-sort_scores, axis=-1)
         sorted_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
         sorted_valid = jnp.take_along_axis(sort_scores, order, axis=1) > 0.0
-        keep_sorted = _blocked_keep_sorted(sorted_boxes, sorted_valid, iou_thresh)
+        keep_sorted = _dense_keep_sorted(sorted_boxes, sorted_valid, iou_thresh, backend)
         return jnp.put_along_axis(
             jnp.zeros((n, p), jnp.bool_), order, keep_sorted, axis=-1, inplace=False
         )
@@ -197,11 +230,12 @@ def nms_keep_mask(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 
     return chosen(None)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thresh",))
-def non_maximum_suppression(outputs: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("iou_thresh", "dense_backend"))
+def non_maximum_suppression(outputs: jax.Array, iou_thresh: float = 0.5,
+                            dense_backend: str | None = None) -> jax.Array:
     """outputs: (N, P, 4+C) decoded boxes + one-class-kept scores -> same shape,
     with suppressed anchors' scores (all C columns) zeroed."""
     sort_scores = outputs[..., 5:].max(axis=-1)  # max over non-void classes (utils.py:99)
-    keep = nms_keep_mask(outputs[..., :4], sort_scores, iou_thresh)
+    keep = nms_keep_mask(outputs[..., :4], sort_scores, iou_thresh, dense_backend)
     scores = outputs[..., 4:] * keep[..., None].astype(outputs.dtype)
     return jnp.concatenate([outputs[..., :4], scores], axis=-1)

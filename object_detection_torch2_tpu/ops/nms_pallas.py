@@ -25,15 +25,23 @@ Sorting stays outside the kernel (XLA's sort is fine); the kernel computes the
 keep mask over sorted candidates. Bit-identical to the serial greedy loop and
 the blocked-XLA default — tests/test_nms_pallas.py, tools/bench_nms.py.
 
-Measured at bs32 x 8732 on a v5e (tools/bench_nms.py; round-2 per-iteration
-blocking numbers in parens were flattered by the tunnel's non-blocking
-block_until_ready — NOTES_ROUND3): blocked-XLA honest in-pipeline 7.65 ms
-sparse pre-round-3 (claimed 0.03), 0.96 ms with the compacted fast path; this
-kernel 43 / 35 ms dense/sparse; serial 161 ms. The gap is structural: XLA lowers the cross-suppression to full-width
-MXU einsum contractions and fuses the IoU math into them, while this kernel's
-chunked VPU max-reduces pay per-chunk loop overhead — so the blocked-XLA
-formulation REMAINS THE PRODUCTION DEFAULT and this kernel is the VMEM-resident
-reference implementation of the kernel path.
+Measured at bs32 x 8732 on a v5e under HONEST differenced-queue timing
+(tools/bench_nms.py; round 2's "kernel 43/35 ms vs XLA 0.43/0.03" was an
+artifact of the tunnel's non-blocking block_until_ready — NOTES_ROUND3):
+
+    dense (every anchor positive): this kernel 9.98 ms, blocked-XLA 14.96 ms
+    sparse (trained-like):         this kernel 5.77 ms, blocked-XLA 1.56 ms
+
+The regimes split on memory traffic vs early-exit granularity. Dense, the
+whole sweep runs: XLA re-streams the (N, Pb, 4) box table from HBM for every
+one of the ~69 cross-suppression contractions, while here it stays VMEM-
+resident — a 1.5x win. Sparse, XLA's tiered top_k compaction (ops/nms.py)
+shrinks the whole problem to <= 1024 candidates before sweeping, which beats
+any full-width kernel. Production policy (ops/nms.py `nms_keep_mask`):
+compacted XLA tiers for the sparse common case, THIS KERNEL for the dense
+fallback on TPU (`dense_backend="auto"` via `lax.platform_dependent`; XLA
+elsewhere, and under multi-chip meshes — GSPMD cannot partition an opaque
+Mosaic call, see `nms_keep_mask`).
 """
 
 from __future__ import annotations
@@ -123,23 +131,21 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, tile_ref, *
     jax.lax.while_loop(outer_cond, outer_step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thresh",))
-def nms_keep_mask_pallas(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
-    """Drop-in equivalent of ops.nms.nms_keep_mask computed by the Pallas kernel.
+def pallas_keep_sorted(sorted_boxes: jax.Array, sorted_valid: jax.Array,
+                       iou_thresh: float = 0.5) -> jax.Array:
+    """Keep mask over SCORE-SORTED candidates via the Pallas kernel — the
+    kernel analog of ops.nms._blocked_keep_sorted (same signature/result).
 
-    boxes: (N, P, 4) center-form, sort_scores: (N, P) -> bool (N, P) in original order.
-    """
-    n, p, _ = boxes.shape
-    order = jnp.argsort(-sort_scores, axis=-1)
-    sorted_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
-    sorted_valid = (jnp.take_along_axis(sort_scores, order, axis=1) > 0.0).astype(jnp.float32)
-
+    sorted_boxes: (N, P, 4) center-form, score-descending; sorted_valid: (N, P)
+    bool -> bool (N, P) keep mask in sorted order."""
+    n, p, _ = sorted_boxes.shape
     num_blocks = -(-p // BLOCK)
     pb = num_blocks * BLOCK
     pad = pb - p
+    valid_f = sorted_valid.astype(jnp.float32)
     if pad:
         sorted_boxes = jnp.pad(sorted_boxes, ((0, 0), (0, pad), (0, 0)))
-        sorted_valid = jnp.pad(sorted_valid, ((0, 0), (0, pad)))
+        valid_f = jnp.pad(valid_f, ((0, 0), (0, pad)))
 
     cx, cy, w, h = (sorted_boxes[..., i] for i in range(4))
     planes = (cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2)
@@ -150,7 +156,19 @@ def nms_keep_mask_pallas(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: f
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n, BLOCK, BLOCK), jnp.float32)],
-    )(*planes, sorted_valid)
+    )(*planes, valid_f)
+    return keep_sorted[:, :p] > 0.0
 
-    keep_sorted = keep_sorted[:, :p] > 0.0
+
+@functools.partial(jax.jit, static_argnames=("iou_thresh",))
+def nms_keep_mask_pallas(boxes: jax.Array, sort_scores: jax.Array, iou_thresh: float = 0.5) -> jax.Array:
+    """Drop-in equivalent of ops.nms.nms_keep_mask computed by the Pallas kernel.
+
+    boxes: (N, P, 4) center-form, sort_scores: (N, P) -> bool (N, P) in original order.
+    """
+    n, p, _ = boxes.shape
+    order = jnp.argsort(-sort_scores, axis=-1)
+    sorted_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    sorted_valid = jnp.take_along_axis(sort_scores, order, axis=1) > 0.0
+    keep_sorted = pallas_keep_sorted(sorted_boxes, sorted_valid, iou_thresh)
     return jnp.put_along_axis(jnp.zeros((n, p), jnp.bool_), order, keep_sorted, axis=-1, inplace=False)

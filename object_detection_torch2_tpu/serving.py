@@ -53,9 +53,16 @@ def export_detection_pipeline(model, variables, path, *, batch_size: int,
     """
     from object_detection_torch2_tpu.infer import build_detection_pipeline
 
+    # nms_dense_backend="xla": the artifact must lower on any host for any
+    # platform list, and Pallas→Mosaic lowering requires a live TPU backend
+    # ("Only interpret mode is supported on CPU backend"), so the portable
+    # artifact always carries the blocked-XLA dense NMS fallback. The dense
+    # path is the rare (>1024 positives/image) branch; live TPU serving via
+    # Predictor/CLI still gets the kernel (ops/nms.py DENSE_BACKEND).
     run = build_detection_pipeline(
         model, use_batch_stats=use_batch_stats, imsize=imsize,
         iou_thresh=iou_thresh, max_detections=max_detections, d2h_half=d2h_half,
+        nms_dense_backend="xla",
     )
     variables = jax.tree.map(jnp.asarray, variables)
 

@@ -36,3 +36,45 @@ def test_pallas_equals_serial(p):
     got = _with_interpret(nms_keep_mask_pallas)(jnp.asarray(boxes), jnp.asarray(scores))
     want = nms_keep_mask_serial(jnp.asarray(boxes), jnp.asarray(scores))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _clustered_boxes(rng, n, p):
+    boxes = np.zeros((n, p, 4), np.float32)
+    centers = rng.uniform(0.1, 0.9, (n, 6, 2))
+    pick = rng.integers(0, 6, (n, p))
+    boxes[..., :2] = np.take_along_axis(centers, pick[..., None], axis=1) + rng.normal(0, 0.04, (n, p, 2))
+    boxes[..., 2:] = rng.uniform(0.05, 0.3, (n, p, 2))
+    return boxes
+
+
+def test_dense_backend_pallas_equals_xla_in_nms_keep_mask():
+    """The integrated dense fallback (`nms_keep_mask(dense_backend="pallas")`)
+    must produce the identical keep set as the blocked-XLA full path. p=300
+    with >128 positives falls through the 128 tier to the full sweep."""
+    from object_detection_torch2_tpu.ops.nms import nms_keep_mask
+
+    rng = np.random.default_rng(11)
+    n, p = 3, 300
+    boxes = _clustered_boxes(rng, n, p)
+    scores = rng.uniform(0.1, 1.0, (n, p)).astype(np.float32)  # every candidate positive
+
+    want = nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores), dense_backend="xla")
+    got = _with_interpret(nms_keep_mask)(jnp.asarray(boxes), jnp.asarray(scores),
+                                         dense_backend="pallas")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_dense_backend_auto_resolves_to_xla_off_tpu():
+    """"auto" lowers via lax.platform_dependent: on the CPU test platform the
+    default (blocked-XLA) branch runs — result identical to explicit "xla"
+    and no Mosaic compilation is attempted."""
+    from object_detection_torch2_tpu.ops.nms import nms_keep_mask
+
+    rng = np.random.default_rng(13)
+    n, p = 2, 300
+    boxes = _clustered_boxes(rng, n, p)
+    scores = rng.uniform(0.1, 1.0, (n, p)).astype(np.float32)
+
+    got = jax.jit(nms_keep_mask)(jnp.asarray(boxes), jnp.asarray(scores))  # default: auto
+    want = nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores), dense_backend="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
