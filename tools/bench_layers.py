@@ -11,7 +11,18 @@ differencing k vs 2k trip counts.
 
 Per layer it prints: marginal ms, useful conv GFLOP (dense, bs-included),
 effective TFLOP/s and MFU vs the v5e bf16 peak — the map of where the forward's
-~13.7 ms (bs32) go and which layers sit farthest below roofline.
+~13.5 ms (bs32) go and which layers sit farthest below roofline.
+
+Measured map (v5e, bs32 bf16, 2026-08-18; element-probe run for the trunk —
+valid there because every truncated output is batch-stat-normalized, so the
+full prior conv survives DCE — plus the sum-probe run for heads):
+trunk+extras ~11.2 ms with convs 2_2..6_1 at 90-110% MFU; heads+concat
+0.83 ms; the two structural losses are conv_1_1 (0.74 ms, 7% MFU — BOUND BY
+its 368 MB bf16 output write, not FLOPs; floor ~0.46 ms) and conv_2_1
+(1.19 ms, 45% — half-lane 64-channel input; extending the paired-x layout
+into block 2 nets NEGATIVE: 2_2 already runs 93% dense, staggering it costs
+4/3 FLOPs, and the re-pair/unpair shuffles ~92-184 MB). Cross-checks
+bench_step_breakdown's 13.69 ms forward. Remaining forward headroom ~1 ms.
 
 Usage: python tools/bench_layers.py [--batch_size 32] [--iters 30]
 """
@@ -95,7 +106,13 @@ def main():
                 x, s = carry
                 out, _ = model.apply(variables, x + (s * 1e-30).astype(x.dtype),
                                      train=True, up_to=up_to, mutable=["batch_stats"])
-                return x, jnp.float32(out.reshape(-1)[0])
+                # full-tensor reduction, NOT out[0]: a single-element probe lets
+                # XLA simplify the heads' concat+slice down to one head and DCE
+                # the other five plus the extras feeding them (observed: the
+                # FULL-forward prefix measured LESS than the 11_2 prefix). The
+                # sum forces every element; its own cost (<0.1 ms even on the
+                # 150x150 activations) is the accepted attribution error.
+                return x, out.astype(jnp.float32).sum()
 
             _, s = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0.0)))
             return s
