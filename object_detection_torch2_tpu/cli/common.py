@@ -51,17 +51,54 @@ def add_common_args(parser, batch_size_default: int):
     )
 
 
+def add_serving_args(parser):
+    """Flags shared by the serving CLIs (inference/evaluate) beyond
+    add_common_args."""
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host data-parallel serving: jax.distributed.initialize() "
+                             "(auto-detected on TPU pods; gloo on CPU clusters), mesh over ALL "
+                             "global devices, each process loads/fetches only its slice of "
+                             "every batch; eval metrics are all-gathered at the end "
+                             "(metrics/ap.py merge_accumulators_across_processes)")
+
+
+def init_serving_distributed(args):
+    """Initialize jax.distributed for --distributed serving (before any
+    device query). Returns (process_index, process_count)."""
+    import jax
+
+    if getattr(args, "distributed", False):
+        from object_detection_torch2_tpu.parallel import init_distributed
+
+        init_distributed()
+    return jax.process_index(), jax.process_count()
+
+
 def serving_mesh(args):
     """Data-parallel mesh for the serving CLIs (inference/evaluate): all local
     devices by default, capped by --num_devices, reduced to the largest count
     that divides --batch_size (batches shard evenly; a 1-device mesh is the
     single-chip case). The reference serves strictly single-device
-    (reference: src/inference.py:42, src/evaluate.py:103)."""
+    (reference: src/inference.py:42, src/evaluate.py:103).
+
+    Multi-process (--distributed): the mesh spans ALL global devices —
+    batch_size must divide exactly over them (per-process slices and
+    per-device shards must be equal-shaped; no silent device-count
+    reduction)."""
     import jax
 
     from object_detection_torch2_tpu.parallel import make_mesh
 
     avail = len(jax.devices())
+    if jax.process_count() > 1:
+        n = args.num_devices or avail
+        if n != avail:
+            raise ValueError(f"--num_devices {n} unsupported with --distributed (global mesh "
+                             f"uses all {avail} devices)")
+        if args.batch_size % avail:
+            raise ValueError(f"--distributed: batch_size {args.batch_size} must divide over "
+                             f"all {avail} global devices")
+        return make_mesh(avail)
     n = min(args.num_devices or avail, avail)
     while args.batch_size % n:
         n -= 1
@@ -110,3 +147,15 @@ def pad_batch(images: np.ndarray, batch_size: int):
         return images, n
     pad = np.repeat(images[-1:], batch_size - n, axis=0)
     return np.concatenate([images, pad], axis=0), n
+
+
+def pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
+    """Pad to `rows` rows (repeat-last, or zeros when empty — a process whose
+    final --distributed slice is empty still contributes equal-shaped pad
+    rows; they are masked out downstream via n_real)."""
+    n = arr.shape[0]
+    if n == rows:
+        return arr
+    filler = (np.zeros((rows - n, *arr.shape[1:]), arr.dtype) if n == 0
+              else np.repeat(arr[-1:], rows - n, axis=0))
+    return np.concatenate([arr, filler], axis=0)

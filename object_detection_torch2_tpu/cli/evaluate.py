@@ -31,6 +31,7 @@ from object_detection_torch2_tpu.infer import build_detection_pipeline
 from object_detection_torch2_tpu.metrics.ap import APAccumulator
 from object_detection_torch2_tpu.metrics.assign import detection_matches
 from object_detection_torch2_tpu.ops import expand_detections
+from object_detection_torch2_tpu.parallel import mesh as mesh_lib
 from object_detection_torch2_tpu.utils.hostsync import FetchPipeline
 from object_detection_torch2_tpu.utils.report import write_report
 
@@ -49,6 +50,7 @@ def parse_args(argv=None):
                         help="fetch match scores as float16 (~5e-4 quantization) — halves "
                              "the per-batch device->host payload, which bounds throughput "
                              "through bandwidth-limited runtimes; default f32 is bit-exact")
+    common.add_serving_args(parser)
     return parser.parse_args(argv)
 
 
@@ -68,11 +70,13 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
     semantics unchanged; results gain a leading K axis."""
     # The inner detect is built mesh=None (run_dp below shards via input
     # placement instead), so it cannot see whether the batch is sharded —
-    # force the XLA dense-NMS backend whenever THIS pipeline has a mesh
-    # (GSPMD cannot partition the Pallas dense branch, see
+    # pass the shard_map-wrapped dense-NMS backend whenever THIS pipeline has
+    # a mesh (GSPMD cannot partition a bare Pallas dense branch, see
     # build_detection_pipeline).
+    from object_detection_torch2_tpu.ops.nms import sharded_dense_backend
+
     detect = build_detection_pipeline(model, use_batch_stats, imsize, max_detections=max_detections,
-                                      nms_dense_backend="xla" if mesh is not None else None)
+                                      nms_dense_backend=sharded_dense_backend(mesh) if mesh is not None else None)
 
     def body(variables, images_u8, gts, n_real):
         packed, n_valid = detect(variables, images_u8, n_real)
@@ -100,16 +104,13 @@ def build_eval_pipeline(model, use_batch_stats: bool, imsize: int, num_classes: 
     if mesh is None:
         return run
 
-    from object_detection_torch2_tpu.parallel import mesh as mesh_lib
-
-    r_shard = mesh_lib.replicated_sharding(mesh)
-
     def run_dp(variables, images_u8, gts, n_real):
-        b_shard = mesh_lib.batch_sharding(mesh, batch_axis=images_u8.ndim - 4)
+        # shard_batch/replicate = device_put single-process; multi-process they
+        # assemble global arrays from each process's local data (--distributed)
         return run(
-            jax.device_put(variables, r_shard),
-            jax.device_put(images_u8, b_shard),
-            jax.device_put(gts, mesh_lib.batch_sharding(mesh, batch_axis=gts.ndim - 3)),
+            mesh_lib.replicate(mesh, variables),
+            mesh_lib.shard_batch(mesh, images_u8, batch_axis=images_u8.ndim - 4),
+            mesh_lib.shard_batch(mesh, gts, batch_axis=gts.ndim - 3),
             n_real,
         )
 
@@ -121,7 +122,11 @@ def main(argv=None):
     common.enable_cli_caches()
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
+    proc, nproc = common.init_serving_distributed(args)
     mesh = common.serving_mesh(args)
+    # per-process rows of each global batch (--distributed: the DataLoader
+    # yields this process's contiguous slice; single-process: the whole batch)
+    local_bs = args.batch_size // nproc
 
     if args.records_dir:
         dataset = RecordDataset(args.records_dir)
@@ -147,12 +152,18 @@ def main(argv=None):
     def drain(done):
         nonlocal truncated
         matches, n_valid, stacked = done
+        # local_rows = np.asarray single-process; multi-process it fetches only
+        # THIS process's rows of the batch-sharded global match tensors (pad
+        # rows are inert: zero GTs, zero scores — they contribute nothing)
+        axis = 1 if stacked else 0  # (K, N, ...) stacks shard axis 1
+        matches = jax.tree.map(lambda x: mesh_lib.local_rows(x, axis), matches)
+        n_valid = mesh_lib.local_rows(n_valid, axis)
         if stacked:  # K-stacked dispatch: accumulate each micro-batch's matches
-            for k in range(np.asarray(n_valid).shape[0]):
-                acc.update(jax.tree.map(lambda x: np.asarray(x)[k], matches))
+            for k in range(n_valid.shape[0]):
+                acc.update(jax.tree.map(lambda x: x[k], matches))
         else:
             acc.update(matches)
-        truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
+        truncated |= int(np.max(n_valid)) > args.max_detections
 
     # per-batch progress (reference: evaluate.py:118-121 tqdm); auto-disabled on
     # non-TTY. Pipelined (utils.hostsync.FetchPipeline): each batch's match
@@ -171,11 +182,19 @@ def main(argv=None):
         group.clear()
         return pipe.push((matches, n_valid, True))
 
-    for images_u8, gts in tqdm(loader, total=len(loader), disable=None, unit="batch"):
+    remaining = len(dataset)
+    for images_u8, gts in tqdm(loader, total=len(loader), unit="batch",
+                               disable=None if proc == 0 else True):
         images_u8 = np.asarray(images_u8)
         gts = np.asarray(gts, np.float32)
-        images_u8, real = common.pad_batch(images_u8, args.batch_size)
-        gts_p, _ = common.pad_batch(gts, args.batch_size)
+        # n_real is the GLOBAL real count (the mask in the jitted pipeline is
+        # over global rows); multi-process, the loader yields only this
+        # process's slice, so the count comes from the deterministic
+        # contiguous order (shuffle=False, drop_last=False), not len(slice)
+        real = images_u8.shape[0] if nproc == 1 else min(args.batch_size, remaining)
+        remaining -= min(args.batch_size, remaining)
+        images_u8 = common.pad_rows(images_u8, local_bs)
+        gts_p = common.pad_rows(gts, local_bs)
         if args.batches_per_dispatch > 1:
             group.append((images_u8, gts_p, real))
             done = dispatch_group() if len(group) == args.batches_per_dispatch else None
@@ -195,16 +214,23 @@ def main(argv=None):
         print(f"warning: >{args.max_detections} post-NMS detections in a batch; "
               "lowest-scored were dropped (raise --max_detections)")
 
+    if nproc > 1:  # all-gather the per-process accumulator state; every
+        # process then computes the identical global result
+        from object_detection_torch2_tpu.metrics.ap import merge_accumulators_across_processes
+
+        acc = merge_accumulators_across_processes(acc)
+
     aps, mean_ap = acc.result(strict=False)
-    print("mAP (reference parity metric):", round(mean_ap, 4))
     strict_mean = None
     if args.strict_ap:
         strict_aps, strict_mean = acc.result(strict=True)
-        print("mAP (strict, score-ranked):", round(strict_mean, 4))
-
-    path = write_report(out_dir, vars(args), aps, mean_ap, labelmap)
-    print("report:", path)
-    print("Finished Evaluate")
+    if proc == 0:
+        print("mAP (reference parity metric):", round(mean_ap, 4))
+        if strict_mean is not None:
+            print("mAP (strict, score-ranked):", round(strict_mean, 4))
+        path = write_report(out_dir, vars(args), aps, mean_ap, labelmap)
+        print("report:", path)
+        print("Finished Evaluate")
     return aps, mean_ap, strict_mean
 
 

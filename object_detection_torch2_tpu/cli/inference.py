@@ -23,6 +23,7 @@ from object_detection_torch2_tpu.data.loader import DataLoader
 from object_detection_torch2_tpu.data.records import RecordDataset
 from object_detection_torch2_tpu.data.voc import PascalVOCDataset
 from object_detection_torch2_tpu.infer import build_detection_pipeline, unpack_detections
+from object_detection_torch2_tpu.parallel import mesh as mesh_lib
 from object_detection_torch2_tpu.utils.hostsync import FetchPipeline
 from object_detection_torch2_tpu.utils.render import hls_palette, render_detections_compact, save_detections
 
@@ -49,6 +50,7 @@ def parse_args(argv=None):
     parser.add_argument("--export_platforms", type=str, default="tpu,cpu",
                         help="comma-separated lowering platforms baked into "
                              "--export_pipeline artifacts")
+    common.add_serving_args(parser)
     return parser.parse_args(argv)
 
 
@@ -57,7 +59,13 @@ def main(argv=None):
     common.enable_cli_caches()
     weights_path = Path(args.result_dir) / "detection" / args.weights
     out_dir = Path(args.result_dir) / "detection"
+    proc, nproc = common.init_serving_distributed(args)
     mesh = common.serving_mesh(args)
+    # per-process rows of each global batch (--distributed: the DataLoader
+    # yields this process's contiguous slice — global rows
+    # [proc*local_bs, (proc+1)*local_bs); each process renders only those,
+    # with globally-consistent output numbering)
+    local_bs = args.batch_size // nproc
 
     if args.records_dir:
         dataset = RecordDataset(args.records_dir)
@@ -91,23 +99,30 @@ def main(argv=None):
     )
     palette = hls_palette(len(labelmap) + 1)
 
-    n = 1
     truncated = False
 
     def drain(pending):
-        nonlocal n, truncated
-        # normalized to K-stacked form: lists of per-micro-batch images/reals,
-        # packed (K, N, Kdet, 6), n_valid (K, N)
-        images_k, packed_k, n_valid, reals = pending
-        truncated |= int(np.max(np.asarray(n_valid))) > args.max_detections
-        for images_u8, packed, real in zip(images_k, np.asarray(packed_k), reals):
+        nonlocal truncated
+        # lists of per-micro-batch local images, packed (K, N, Kdet, 6) or
+        # (N, Kdet, 6), n_valid, metas [(global_real, base)], stacked flag.
+        # local_rows = np.asarray single-process; multi-process it fetches only
+        # THIS process's rows (its devices' shards) of each global batch —
+        # exactly the rows whose images it holds. Output numbering is global:
+        # base (images in previous batches) + this process's row offset.
+        images_k, packed_k, n_valid, metas, stacked = pending
+        axis = 1 if stacked else 0
+        packed_k = mesh_lib.local_rows(packed_k, batch_axis=axis)
+        nv = mesh_lib.local_rows(n_valid, batch_axis=axis)
+        if not stacked:
+            packed_k, nv = packed_k[None], nv[None]
+        truncated |= int(np.max(nv)) > args.max_detections
+        for images_u8, packed, (_, base) in zip(images_k, packed_k, metas):
             boxes, classes, scores = unpack_detections(packed)
-            for i in range(real):
+            for i in range(images_u8.shape[0]):  # unpadded local slice = local real rows
                 img = render_detections_compact(
                     images_u8[i], boxes[i], classes[i], scores[i], labelmap, args.imsize, palette
                 )
-                save_detections(out_dir, n, img)
-                n += 1
+                save_detections(out_dir, base + proc * local_bs + i + 1, img)
 
     # per-batch progress (reference: inference.py:56-59 tqdm); auto-disabled on
     # non-TTY. Pipelined (utils.hostsync.FetchPipeline): each batch's packed
@@ -119,27 +134,37 @@ def main(argv=None):
     group: list[tuple] = []
 
     def dispatch_group():
-        stacked = jax.numpy.asarray(np.stack([g[1] for g in group]))
-        reals = [g[2] for g in group]
-        packed, n_valid = run(variables, stacked, np.asarray(reals, np.int32))
-        item = ([g[0] for g in group], packed, n_valid, reals)
+        stacked = np.stack([g[1] for g in group])
+        metas = [g[2] for g in group]
+        packed, n_valid = run(variables, stacked, np.asarray([m[0] for m in metas], np.int32))
+        item = ([g[0] for g in group], packed, n_valid, metas, True)
         group.clear()
         return pipe.push(item)
 
-    for images_u8, _ in tqdm(loader, total=len(loader), disable=None, unit="batch"):
+    remaining = len(dataset)
+    base = 0  # images completed in previous global batches (output numbering)
+    for images_u8, _ in tqdm(loader, total=len(loader), unit="batch",
+                             disable=None if proc == 0 else True):
         images_u8 = np.asarray(images_u8)
-        padded, real = common.pad_batch(images_u8, args.batch_size)
+        # n_real is the GLOBAL real count (the pipeline's mask is over global
+        # rows); multi-process the loader yields only this process's slice, so
+        # it comes from the deterministic contiguous order, not len(slice)
+        real = images_u8.shape[0] if nproc == 1 else min(args.batch_size, remaining)
+        remaining -= min(args.batch_size, remaining)
+        meta = (real, base)
+        base += real
+        padded = common.pad_rows(images_u8, local_bs)
         if args.batches_per_dispatch > 1:
-            group.append((images_u8, padded, real))
+            group.append((images_u8, padded, meta))
             done = dispatch_group() if len(group) == args.batches_per_dispatch else None
         else:
-            packed, n_valid = run(variables, jax.numpy.asarray(padded), real)
-            done = pipe.push(([images_u8], packed[None], n_valid[None], [real]))
+            packed, n_valid = run(variables, padded, real)
+            done = pipe.push(([images_u8], packed, n_valid, [meta], False))
         if done is not None:
             drain(done)
-    for images_u8, padded, real in group:  # tail: single-batch program, no recompile
-        packed, n_valid = run(variables, jax.numpy.asarray(padded), real)
-        done = pipe.push(([images_u8], packed[None], n_valid[None], [real]))
+    for images_u8, padded, meta in group:  # tail: single-batch program, no recompile
+        packed, n_valid = run(variables, padded, meta[0])
+        done = pipe.push(([images_u8], packed, n_valid, [meta], False))
         if done is not None:
             drain(done)
     for done in pipe.flush():

@@ -68,13 +68,18 @@ class DataLoader:
         self._num_procs = jax.process_count()
         self._proc = jax.process_index()
         if self._num_procs > 1:
-            if mesh is None:
-                raise ValueError("multi-process run requires a mesh (sharded global batches)")
-            if not drop_last:
+            if mesh is not None and not drop_last:
                 raise ValueError(
-                    "multi-process DataLoader requires drop_last=True (a ragged final "
-                    "batch cannot be split evenly across processes)"
+                    "multi-process DataLoader with a mesh requires drop_last=True (a ragged "
+                    "final batch cannot be assembled into equal-shaped global shards)"
                 )
+            # mesh=None multi-process is SERVING mode (--distributed inference/
+            # evaluate): host batches are this process's contiguous slice of
+            # each global batch — global rows [proc*pp, (proc+1)*pp) — and the
+            # CLI pads/assembles them via parallel.shard_batch itself. With
+            # drop_last=False only the FINAL batch can be ragged, so only the
+            # final local slice may be short or empty (every process still
+            # yields it — all processes must join every collective dispatch).
             if batch_size % self._num_procs:
                 raise ValueError(f"batch_size {batch_size} must divide over {self._num_procs} processes")
 
@@ -110,11 +115,28 @@ class DataLoader:
             )
         return self._pool
 
+    def _empty_batch(self):
+        """(0, ...)-shaped batch with the correct trailing dims — a process
+        whose final local slice is empty still yields it (multi-process
+        serving: every process must join the final collective dispatch)."""
+        if self._is_records:
+            images, gts = self.dataset.batch(np.zeros(0, np.int64))
+            return np.ascontiguousarray(images), np.ascontiguousarray(gts)
+        images, gts = collate([self.dataset[0]], max_gt=self.max_gt)
+        return images[:0], gts[:0]
+
     def _host_batches(self):
         if not self._is_records and self._ensure_pool() is not None:
-            yield from self._pool.batches(self._index_batches())
+            idxs = list(self._index_batches())
+            empty_tail = sum(1 for i in idxs if len(i) == 0)  # only the final
+            yield from self._pool.batches(iter(i for i in idxs if len(i)))
+            for _ in range(empty_tail):
+                yield self._empty_batch()
             return
         for idx in self._index_batches():
+            if len(idx) == 0:
+                yield self._empty_batch()
+                continue
             if self._is_records:
                 images, gts = self.dataset.batch(np.sort(idx))
                 images, gts = np.ascontiguousarray(images), np.ascontiguousarray(gts)

@@ -76,10 +76,13 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
 
     nms_dense_backend selects the NMS full-sweep backend (ops/nms.py
     DENSE_BACKEND). None = auto on a single device (the Pallas kernel takes
-    the dense fallback on TPU) but "xla" whenever the batch may be sharded
-    (mesh is not None here, or always in build_eval_pipeline, whose caller
-    shards via input placement): GSPMD cannot partition the opaque Mosaic
-    call, so the kernel branch would all-gather and compute replicated.
+    the dense fallback on TPU) and `sharded_dense_backend(mesh)` whenever the
+    batch may be sharded (mesh is not None here, or when build_eval_pipeline
+    has a mesh): GSPMD cannot partition the opaque Mosaic call, so a bare
+    kernel would all-gather and compute replicated — the sharded backend
+    instead shard_maps the kernel over the data axis (per-image NMS is
+    independent across the batch), keeping the dense-regime Pallas win on
+    multi-chip serving.
 
     d2h_half=True returns the packed results as float16 — through a remote
     runtime the device->host link's BANDWIDTH (not just its round-trip) bounds
@@ -91,7 +94,9 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
     (the reference-parity surface)."""
     df = jnp.asarray(default_boxes(feature_grids_for(imsize)))
     if nms_dense_backend is None and mesh is not None:
-        nms_dense_backend = "xla"
+        from object_detection_torch2_tpu.ops.nms import sharded_dense_backend
+
+        nms_dense_backend = sharded_dense_backend(mesh)
 
     def body(variables, images_u8, n_real):
         mask = (jnp.arange(images_u8.shape[0]) < n_real).astype(jnp.float32)
@@ -133,17 +138,17 @@ def build_detection_pipeline(model, use_batch_stats: bool, imsize: int = 300,
 
     from object_detection_torch2_tpu.parallel import mesh as mesh_lib
 
-    r_shard = mesh_lib.replicated_sharding(mesh)
-
     def run_dp(variables, images_u8, n_real):
         # device_put is a no-op when the placement already matches, so
         # replicating variables here (instead of asking every caller to) costs
         # one tree walk per batch. Stacked (K, N, ...) input shards axis 1
         # (scan axis whole, each micro-batch over the mesh), plain input axis 0.
-        b_shard = mesh_lib.batch_sharding(mesh, batch_axis=images_u8.ndim - 4)
+        # shard_batch = device_put single-process; multi-process (--distributed
+        # serving) it assembles the global batch from each process's local
+        # slice via jax.make_array_from_process_local_data.
         return run(
-            jax.device_put(variables, r_shard),
-            jax.device_put(images_u8, b_shard),
+            mesh_lib.replicate(mesh, variables),
+            mesh_lib.shard_batch(mesh, images_u8, batch_axis=np.ndim(images_u8) - 4),
             n_real,
         )
 

@@ -79,3 +79,49 @@ class APAccumulator:
             aps[c] = average_precision(correct, scores, self.counts[c], strict=strict)
         mean = float(np.nanmean(aps)) if np.isfinite(aps).any() else float("nan")
         return aps, mean
+
+
+def merge_accumulators_across_processes(acc: APAccumulator) -> APAccumulator:
+    """Cross-process reduction for multi-host eval (--distributed).
+
+    Each process accumulates (correct, score) rows and GT counts only for the
+    rows it fed/fetched (parallel.mesh.local_rows); this all-gathers the
+    accumulated state over jax.distributed and returns a merged accumulator
+    whose `result()` equals a single-process run over the full data. Row order
+    within a class is irrelevant: the parity metric (Q5) only sums the correct
+    flags, and strict AP re-sorts by score. Single-process: identity.
+
+    Ragged per-process row counts are exchanged as (size-allgather, pad to
+    max, allgather, trim) — gloo/ICI allgathers need equal shapes.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return acc
+    from jax.experimental import multihost_utils
+
+    rows = []  # (class_id, correct, score) triples, all classes flattened
+    for c in range(acc.num_classes):
+        if acc.correct[c]:
+            cc = np.concatenate(acc.correct[c]).astype(np.float32)
+            ss = np.concatenate(acc.scores[c]).astype(np.float32)
+            rows.append(np.stack([np.full_like(ss, c), cc, ss], axis=-1))
+    local = np.concatenate(rows, axis=0) if rows else np.zeros((0, 3), np.float32)
+
+    sizes = np.asarray(multihost_utils.process_allgather(np.int64(local.shape[0])))
+    padded = np.zeros((int(sizes.max()), 3), np.float32) if sizes.max() else np.zeros((1, 3), np.float32)
+    if len(local):
+        padded[: len(local)] = local
+    all_rows = np.asarray(multihost_utils.process_allgather(padded))  # (nproc, maxn, 3)
+    all_counts = np.asarray(multihost_utils.process_allgather(acc.counts.astype(np.int64)))
+
+    merged = APAccumulator(acc.num_classes)
+    merged.counts = all_counts.sum(axis=0)
+    for p in range(all_rows.shape[0]):
+        rows_p = all_rows[p, : int(sizes[p])]
+        for c in range(acc.num_classes):
+            m = rows_p[:, 0] == c
+            if m.any():
+                merged.correct[c].append(rows_p[m, 1])
+                merged.scores[c].append(rows_p[m, 2])
+    return merged

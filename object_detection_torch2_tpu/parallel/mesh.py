@@ -84,7 +84,47 @@ def shard_batch(mesh: Mesh, tree, batch_axis: int = 0):
     return jax.tree.map(_make, tree)
 
 
+def local_rows(arr, batch_axis: int = 0) -> np.ndarray:
+    """Process-local rows of a batch-sharded global array, as numpy.
+
+    Single-process (or plain numpy input): the whole array. Multi-process:
+    the rows held by THIS process's devices, concatenated in global row order
+    — with the contiguous device order of `make_mesh` and the loader's
+    contiguous per-process index slices, these are global rows
+    [proc*pp, (proc+1)*pp) of each batch, matching exactly what this process
+    fed in via `shard_batch`. The serving CLIs use this to fetch only their
+    slice of eval/inference outputs (np.asarray on a non-fully-addressable
+    global array raises)."""
+    if jax.process_count() == 1 or not hasattr(arr, "addressable_shards"):
+        return np.asarray(arr)
+    if arr.is_fully_replicated:
+        return np.asarray(arr)
+    seen: dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:  # dedupe replicated copies by row offset
+        seen.setdefault(s.index[batch_axis].start or 0, np.asarray(s.data))
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=batch_axis)
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate host values over the mesh (all processes must hold identical
-    values — e.g. model params initialized from the same seed)."""
-    return jax.device_put(tree, replicated_sharding(mesh))
+    values — e.g. model params initialized from the same seed).
+
+    Multi-process: assembled with jax.make_array_from_process_local_data —
+    each process supplies its local copy for its own devices, NO cross-process
+    broadcast or verification collective. (jax.device_put's multi-process
+    path runs multihost_utils.assert_equal, whose broadcast was observed to
+    garble multi-MB payloads over gloo — tests/multihost_eval_worker.py's
+    2.1 MB param hit it; and the verification round-trip is pure overhead
+    when values are same-seed identical by construction.)"""
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def _rep(x):
+        # already-placed leaves pass through (device_put's no-op analog):
+        # serving calls replicate per batch on the same variables tree
+        if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(sharding, x.ndim):
+            return x
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(_rep, tree)

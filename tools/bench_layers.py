@@ -47,8 +47,10 @@ enable_compilation_cache()
 
 V5E_BF16_PEAK_TFLOPS = 197.0
 
-# (prefix, H_in, W_in, C_in, C_out, k, flop_note). Dense conv FLOPs at the
-# layer's OUTPUT resolution; the staggered conv_1_2 does 4/3 of dense.
+# (prefix, H_out, W_out, C_in, C_out, k, flop_factor). H/W are the layer's
+# OUTPUT resolution — conv_gflop computes dense conv FLOPs at the output grid
+# (e.g. 8_2's 10x10), NOT the input grid; the staggered conv_1_2 does 4/3 of
+# dense.
 PREFIXES = [
     ("1_1", 300, 300, 3, 64, 3, 1.0),
     ("1_2", 300, 300, 64, 64, 3, 4.0 / 3.0),  # staggered 4-tap (incl. pool_1)

