@@ -80,6 +80,12 @@ def parse_args(argv=None):
                              "(auto-detected on TPU pods), global mesh over all processes' devices, "
                              "per-process data feeding (data/loader.py), DCN between hosts — "
                              "SURVEY.md §2.3; tested via tests/test_multihost.py")
+    parser.add_argument("--device_cache", action="store_true",
+                        help="hold the packed dataset (train AND val) resident in HBM and gather "
+                             "batches on device — per-step H2D drops from MBs of pixels to bytes "
+                             "of indices (data/device_cache.py). Requires --records_dir; VOC-scale "
+                             "SSD300 data (~4.5 GB uint8) fits a v5e's 16 GB alongside the model. "
+                             "Single-process only (incompatible with --distributed)")
     parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace for epoch 1")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on NaN/Inf in jitted outputs (torch detect_anomaly equivalent; slow)")
@@ -163,12 +169,15 @@ def main(argv=None):
     if args.batch_size % n_dev:
         raise ValueError(f"batch_size {args.batch_size} must divide over {n_dev} devices")
 
+    if args.device_cache and (args.distributed or not args.records_dir):
+        raise SystemExit("--device_cache requires --records_dir and is single-process "
+                         "(incompatible with --distributed)")
     ds_train, ds_val = _build_datasets(args)
     dl_train = DataLoader(ds_train, args.batch_size, shuffle=True, seed=args.seed, max_gt=args.max_gt,
                           mesh=mesh, num_workers=args.num_workers,
-                          stack_steps=args.steps_per_dispatch)
+                          stack_steps=args.steps_per_dispatch, device_cache=args.device_cache)
     dl_val = (DataLoader(ds_val, args.batch_size, max_gt=args.max_gt, mesh=mesh,
-                         num_workers=args.num_workers) if ds_val else None)
+                         num_workers=args.num_workers, device_cache=args.device_cache) if ds_val else None)
 
     detection = args.purpose == Purpose.DETECTION.value
     if detection:
@@ -252,6 +261,11 @@ def main(argv=None):
                       f"({spe_prev} -> {steps_per_epoch}): epoch numbering uses the "
                       f"recorded value; the lr schedule decays at the NEW cadence")
             start_epoch = int(state.step) // spe_prev
+
+    # anchor the shuffle sequence to the ABSOLUTE epoch: a resumed run then
+    # draws the same per-epoch orders an uninterrupted run would have (the
+    # loader reshuffles with seed+epoch; its counter is process-local)
+    dl_train.epoch = start_epoch
 
     writer = SummaryWriter(log_dir=args.log_dir)
     val_rng = jax.random.PRNGKey(args.seed + 1)

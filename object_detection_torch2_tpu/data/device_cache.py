@@ -1,0 +1,102 @@
+"""Device-resident dataset cache: the whole packed dataset lives in HBM.
+
+The streaming DataLoader re-sends every image to the device every epoch — at
+VOC scale (16,551 train images, reference: README.md:99) that is ~4.5 GB of
+uint8 per epoch, which swamps the ~10 s of TPU compute whenever the host→device
+link is slow (measured ~40 MB/s through this environment's tunneled PJRT
+runtime; even PCIe pays the copy). SSD300's entire dataset fits in a v5e's
+16 GB HBM, so the TPU-native design is to pay the transfer ONCE:
+
+- `DeviceCache` uploads the packed record arrays (images uint8, GT f32) to the
+  mesh, replicated, in bounded chunks (in-place `dynamic_update_slice` into a
+  donated buffer — peak HBM is the final size + one chunk);
+- each step then gathers its micro-batch rows ON DEVICE from host-computed
+  shuffle indices — the per-step H2D payload drops from megabytes of pixels to
+  a few hundred bytes of int32 indices.
+
+Batch composition is bit-identical to the streaming path: the DataLoader
+computes the same `np.random.default_rng(seed + epoch)` permutation either way
+(tests/test_device_cache.py pins equality). Single-process only (any number of
+local devices); multi-host keeps the streaming loader, whose per-process slices
+already feed `make_array_from_process_local_data`.
+
+Reference contrast: the torch DataLoader re-decodes JPEG + XML per epoch in
+worker processes (src/dataset.py:36-53, src/train.py:23); records packing
+removed the decode, this removes the transfer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from object_detection_torch2_tpu.parallel import mesh as mesh_lib
+
+# chunk the one-time upload: a single multi-GB device_put is one giant tunnel
+# message (and doubles peak host pinning); 128 MB chunks keep peak HBM at
+# final_size + chunk while the donated dynamic_update_slice writes in place.
+UPLOAD_CHUNK_BYTES = 128 * 2**20
+
+
+def _upload_replicated(arr: np.ndarray, sharding, log=None) -> jax.Array:
+    """Chunked host->device upload into a preallocated replicated buffer."""
+    rows_per_chunk = max(1, UPLOAD_CHUNK_BYTES // max(1, arr[:1].nbytes))
+    buf = jax.device_put(jnp.zeros(arr.shape, arr.dtype), sharding)
+    # donated: each chunk writes in place in HBM (no full-buffer copy)
+    write_donated = jax.jit(
+        lambda b, c, s: jax.lax.dynamic_update_slice_in_dim(b, c, s, axis=0),
+        donate_argnums=(0,),
+    )
+    for start in range(0, arr.shape[0], rows_per_chunk):
+        chunk = jax.device_put(np.ascontiguousarray(arr[start : start + rows_per_chunk]), sharding)
+        buf = write_donated(buf, chunk, start)
+        if log:
+            log(start + chunk.shape[0], arr.shape[0])
+    return buf
+
+
+class DeviceCache:
+    """images/GT of a RecordDataset resident in HBM, replicated over the mesh.
+
+    gather(idx) returns device batches shaped and sharded exactly like the
+    streaming loader's `shard_batch` output: (B, ...) with the batch axis
+    sharded for 1-D idx, (K, B, ...) micro-batch stacks sharded on axis 1 for
+    2-D idx (the `Trainer.train_steps` layout)."""
+
+    def __init__(self, dataset, mesh: Mesh, verbose: bool = True):
+        if jax.process_count() > 1:
+            raise ValueError("DeviceCache is single-process; multi-host uses the streaming loader")
+        self.mesh = mesh
+        rep = mesh_lib.replicated_sharding(mesh)
+        images = np.asarray(dataset.images)
+        gts = np.asarray(dataset.gts)
+        total_mb = (images.nbytes + gts.nbytes) / 1e6
+
+        def _log(done, n):
+            if verbose and (done == n or done % (50 * 1024) < 1024):
+                print(f"device cache: {done}/{n} rows resident", flush=True)
+
+        if verbose:
+            print(f"device cache: uploading {len(dataset)} samples "
+                  f"({total_mb:.0f} MB, replicated x{mesh.devices.size} devices)", flush=True)
+        self.images = _upload_replicated(images, rep, _log)
+        self.gts = _upload_replicated(gts, rep, None)
+        # one jitted gather per idx rank; out_shardings makes XLA slice the
+        # replicated cache locally per device — no collective is emitted
+        self._gather = {
+            1: jax.jit(self._take, out_shardings=(mesh_lib.batch_sharding(mesh, 0),) * 2),
+            2: jax.jit(self._take, out_shardings=(mesh_lib.batch_sharding(mesh, 1),) * 2),
+        }
+
+    def _take(self, idx):
+        return jnp.take(self.images, idx, axis=0), jnp.take(self.gts, idx, axis=0)
+
+    def nbytes(self) -> int:
+        return self.images.nbytes + self.gts.nbytes
+
+    def gather(self, idx: np.ndarray):
+        """(B,) or (K, B) int indices -> device (images, gts), batch-sharded."""
+        idx = np.asarray(idx, np.int32)
+        return self._gather[idx.ndim](idx)

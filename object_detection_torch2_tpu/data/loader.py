@@ -36,6 +36,7 @@ class DataLoader:
         drop_last: bool = True,
         num_workers: int = 0,
         stack_steps: int = 1,
+        device_cache: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size  # GLOBAL batch size (all processes, all devices)
@@ -59,6 +60,22 @@ class DataLoader:
         # steps — dispatch latency through remote runtimes otherwise costs
         # ~2.3 ms/step). The final group of an epoch may be shorter.
         self.stack_steps = max(1, int(stack_steps))
+        # device_cache: the whole packed dataset uploads to HBM once (replicated
+        # over the mesh) and batches are GATHERED on device from the same
+        # host-computed shuffle indices — per-step H2D drops from megabytes of
+        # pixels to bytes of int32 (data/device_cache.py; bit-identical batch
+        # composition to streaming, tests/test_device_cache.py).
+        self._cache = None
+        if device_cache:
+            if not self._is_records:
+                raise ValueError("device_cache requires a packed RecordDataset (data/records.py)")
+            if mesh is None:
+                raise ValueError("device_cache requires a mesh (the cache is mesh-replicated)")
+            if not drop_last:
+                raise ValueError("device_cache requires drop_last=True (static batch shapes)")
+            from object_detection_torch2_tpu.data.device_cache import DeviceCache
+
+            self._cache = DeviceCache(dataset, mesh)
         # multi-host DP: every process computes the SAME global index order
         # (shared seed) and loads only its contiguous slice of each global
         # batch; mesh_lib.shard_batch assembles the global array from the
@@ -173,6 +190,26 @@ class DataLoader:
             # batches through the single-step program — no K=tail recompile)
             yield tuple(np.stack(parts) for parts in zip(*group))
 
+    def _cached_device_batches(self):
+        """device_cache path: yield on-device gathers of the SAME index
+        sequence the streaming path would load — (K, B) stacks when
+        stack_steps > 1 (a shorter tail stack gathers through a second, cheap
+        gather specialization), (B,) otherwise. Indices are sorted per batch
+        exactly like the streaming records read (memmap locality there;
+        BIT-IDENTICAL batch row order here)."""
+        group: list = []
+        for idx in self._index_batches():
+            idx = np.sort(idx)
+            if self.stack_steps == 1:
+                yield self._cache.gather(idx)
+                continue
+            group.append(idx)
+            if len(group) == self.stack_steps:
+                yield self._cache.gather(np.stack(group))
+                group = []
+        if group:
+            yield self._cache.gather(np.stack(group))
+
     def __iter__(self):
         """Yield device-placed (images, gts) — (K, B, ...) stacks when
         `stack_steps` K > 1; a background thread keeps `prefetch` batches
@@ -182,11 +219,17 @@ class DataLoader:
         sentinel = object()
         failure: list[BaseException] = []
         stacked = self.stack_steps > 1
-        source = self._stacked_host_batches if stacked else self._host_batches
+        if self._cache is not None:
+            source = self._cached_device_batches
+        else:
+            source = self._stacked_host_batches if stacked else self._host_batches
 
         def producer():
             try:
                 for batch in source():
+                    if self._cache is not None:
+                        q.put(batch)  # already device-resident, correctly sharded
+                        continue
                     q.put(self._place(batch, batch_axis=1 if stacked else 0))
             except BaseException as e:  # re-raised in the consumer — a decode
                 failure.append(e)       # error must not silently end the epoch

@@ -26,23 +26,34 @@ import platform
 
 
 def _host_fingerprint() -> str:
-    """arch + 8-hex hash of the CPU feature flags (ISA-level identity).
+    """arch + 8-hex hash of CPU identity (vendor/family/model/stepping + flags).
 
     /proc/cpuinfo's `flags` line lists the vector extensions (avx512 etc.)
-    that XLA:CPU AOT bakes into generated code; hosts that differ there must
-    not share CPU executables. Model name / frequency are deliberately NOT
-    included — same-ISA hosts should share the cache."""
+    that XLA:CPU AOT bakes into generated code. Flags alone are NOT enough:
+    hypervisors mask cpuinfo flags identically across different physical CPUs,
+    while LLVM detects features via CPUID and derives per-MODEL tuning flags
+    (+prefer-no-gather etc.) that also make AOT results host-specific —
+    observed as machine-type mismatch warnings when two hosts with identical
+    masked flag lines shared a cache (round 4). vendor/family/model/stepping
+    pins the physical CPU model; frequency/core-count stay excluded so
+    identical-model hosts still share."""
+    parts: list[str] = []
     flags: set[str] = set()
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 key, _, val = line.partition(":")
-                if key.strip() in ("flags", "Features"):  # x86 / arm naming
+                key = key.strip()
+                if key in ("flags", "Features") and not flags:  # x86 / arm naming
                     flags.update(val.split())
-                    break
+                elif key in ("vendor_id", "cpu family", "model", "stepping",
+                             "CPU implementer", "CPU part") and len(parts) < 8:
+                    entry = f"{key}={val.strip()}"
+                    if entry not in parts:
+                        parts.append(entry)
     except OSError:
         pass
-    basis = platform.machine() + ":" + " ".join(sorted(flags))
+    basis = platform.machine() + ":" + ";".join(sorted(parts)) + ":" + " ".join(sorted(flags))
     return platform.machine() + "-" + hashlib.sha1(basis.encode()).hexdigest()[:8]
 
 

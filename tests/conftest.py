@@ -52,12 +52,13 @@ GOLDENS = Path(__file__).parent / "goldens"
 _QUICK_MODULES = {
     "test_anchors", "test_boxes", "test_multibox", "test_bn", "test_data",
     "test_transforms", "test_utils", "test_eval_metrics", "test_nms",
-    "test_nms_pallas", "test_profiling",
+    "test_nms_pallas", "test_profiling", "test_device_cache",
 }
 _QUICK_EXCLUDE = {
     "test_eval_pipeline_d2h_half_matches_f32",  # compiles the full eval pipeline twice
     "test_loader_num_workers_equivalence",      # spawns decode worker processes
     "test_pack_voc_num_workers_equivalence",    # spawns decode worker processes
+    "test_cached_training_loss_identical",      # compiles the full SSD train step twice
 }
 
 

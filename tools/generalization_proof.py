@@ -53,6 +53,9 @@ def main(argv=None):
     parser.add_argument("--use_records", action="store_true",
                         help="pack both splits with data/records.py and train/evaluate "
                              "through the --records_dir fast path (the TPU production path)")
+    parser.add_argument("--device_cache", action="store_true",
+                        help="with --use_records: hold both splits resident in HBM "
+                             "(data/device_cache.py) — removes the per-epoch H2D stream")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--threshold", type=float, default=0.5,
                         help="required parity-metric mAP on the held-out split")
@@ -83,6 +86,8 @@ def main(argv=None):
         pack_voc([data], "trainval.txt", rec_train, log_every=0, num_workers=args.num_workers)
         pack_voc([data], "test.txt", rec_test, log_every=0, num_workers=args.num_workers)
         train_data_flags = ["--records_dir", rec_train, "--val_records_dir", rec_test]
+        if args.device_cache:
+            train_data_flags.append("--device_cache")
         eval_data_flags = ["--records_dir", rec_test]
     else:
         train_data_flags = ["--data_dirs", data]
