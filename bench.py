@@ -62,7 +62,8 @@ def main():
     platform = jax.devices()[0].platform
     n_dev = len(jax.devices())
     on_tpu = platform == "tpu"
-    batch_size = 32 if on_tpu else 8
+    # flagship shape default; BENCH_BS overrides for sweeps (tools/bench_sweep.py)
+    batch_size = int(os.environ.get("BENCH_BS", 32 if on_tpu else 8))
     # K optimizer steps per host dispatch (lax.scan inside ONE program —
     # cli/train.py --steps_per_dispatch): amortizes the ~2.3 ms per-dispatch
     # latency of the remote PJRT runtime. Step math identical to K singles

@@ -57,6 +57,10 @@ def _upload_replicated(arr: np.ndarray, sharding, log=None) -> jax.Array:
     return buf
 
 
+def _take(images, gts, idx):
+    return jnp.take(images, idx, axis=0), jnp.take(gts, idx, axis=0)
+
+
 class DeviceCache:
     """images/GT of a RecordDataset resident in HBM, replicated over the mesh.
 
@@ -84,14 +88,16 @@ class DeviceCache:
         self.images = _upload_replicated(images, rep, _log)
         self.gts = _upload_replicated(gts, rep, None)
         # one jitted gather per idx rank; out_shardings makes XLA slice the
-        # replicated cache locally per device — no collective is emitted
+        # replicated cache locally per device — no collective is emitted.
+        # The cache arrays are ARGUMENTS, not closure captures: a captured
+        # jax.Array is traced as a compile-time CONSTANT, baking the whole
+        # multi-GB cache into the HLO (observed: the tunnel's remote_compile
+        # rejected the 707 MB request with HTTP 413; a local runtime would
+        # silently duplicate the cache in the executable instead)
         self._gather = {
-            1: jax.jit(self._take, out_shardings=(mesh_lib.batch_sharding(mesh, 0),) * 2),
-            2: jax.jit(self._take, out_shardings=(mesh_lib.batch_sharding(mesh, 1),) * 2),
+            1: jax.jit(_take, out_shardings=(mesh_lib.batch_sharding(mesh, 0),) * 2),
+            2: jax.jit(_take, out_shardings=(mesh_lib.batch_sharding(mesh, 1),) * 2),
         }
-
-    def _take(self, idx):
-        return jnp.take(self.images, idx, axis=0), jnp.take(self.gts, idx, axis=0)
 
     def nbytes(self) -> int:
         return self.images.nbytes + self.gts.nbytes
@@ -99,4 +105,4 @@ class DeviceCache:
     def gather(self, idx: np.ndarray):
         """(B,) or (K, B) int indices -> device (images, gts), batch-sharded."""
         idx = np.asarray(idx, np.int32)
-        return self._gather[idx.ndim](idx)
+        return self._gather[idx.ndim](self.images, self.gts, idx)
