@@ -59,6 +59,11 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_dir", type=str, default="./logs")
     parser.add_argument("--orbax_dir", type=str, default=None, help="full-state checkpointing (exact resume)")
+    parser.add_argument("--orbax_interval", type=int, default=1,
+                        help="write the orbax full state every N epochs (and always on the last). "
+                             "1 = every epoch (finest resume granularity); the save is a full "
+                             "params+optimizer D2H (~260 MB for SSD300), worth amortizing when "
+                             "epochs are short relative to the device->host link")
     parser.add_argument("--steps_per_epoch", type=int, default=None,
                         help="cap steps (debug/bench; with --steps_per_dispatch K the cap is "
                              "reached in K-step granularity)")
@@ -364,7 +369,8 @@ def main(argv=None):
             # anchors epoch numbering across resumes
             ckpt.save_params_json(params_path, min_loss, epoch_lr, epoch, base_lr=lr,
                                   steps_per_epoch=steps_per_epoch)
-        if args.orbax_dir:
+        if args.orbax_dir and ((epoch - start_epoch) % args.orbax_interval == 0
+                               or epoch == args.epochs + start_epoch):
             ckpt.save_train_state(args.orbax_dir, state)
 
     print("Finished Training")
