@@ -90,6 +90,7 @@ def drift_row(losses, ref):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--goldens", nargs="+", default=["train_trajectory", "train_trajectory_100"])
+    parser.add_argument("--out", default="BF16_BUDGET.json")
     args = parser.parse_args(argv)
 
     from object_detection_torch2_tpu.utils.cache import enable_compilation_cache
@@ -99,10 +100,17 @@ def main(argv=None):
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
-    record = {"platform": platform, "param_dtype": "float32",
-              "note": "per-step relative loss drift vs the EXECUTED torch f32 reference "
-                      "trajectory (tools/gen_goldens.py); bf16 is compute dtype only "
-                      "(flagship default, cli/common.py)"}
+    out_path = REPO / args.out
+    # Preserve keys this run does not own (e.g. the generalization_ab record
+    # written from the tools/generalization_proof.py --dtype A/B arms).
+    record = {}
+    if out_path.exists():
+        record = {k: v for k, v in json.loads(out_path.read_text()).items()
+                  if k not in args.goldens and k not in ("platform", "param_dtype", "note")}
+    record.update({"platform": platform, "param_dtype": "float32",
+                   "note": "per-step relative loss drift vs the EXECUTED torch f32 reference "
+                           "trajectory (tools/gen_goldens.py); bf16 is compute dtype only "
+                           "(flagship default, cli/common.py)"})
     table = ["| golden | dtype | step1 | step5 | step20 | step100 | max (at) | eval-fwd maxabs |",
              "|---|---|---|---|---|---|---|---|"]
     for name in args.goldens:
@@ -125,7 +133,6 @@ def main(argv=None):
         record[name] = entry
         record[name]["ref_losses"] = [round(float(x), 6) for x in ref]
 
-    out_path = REPO / "BF16_BUDGET.json"
     out_path.write_text(json.dumps(record, indent=2) + "\n")
     print("\n".join(table))
     print(f"\nwrote {out_path}")

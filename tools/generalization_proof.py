@@ -136,6 +136,7 @@ def main(argv=None):
         "eval_seconds": round(eval_s, 1),
         "train_aug": args.train_aug,
         "use_records": bool(args.use_records),
+        "dtype": args.dtype,
         "recipe": "full trunk trained (--train_trunk: no pretrained VGG exists in this "
                   "offline environment; the reference's frozen-trunk recipe assumes an "
                   "ImageNet trunk — frozen RANDOM features measured 0.31 held-out recall), "
