@@ -72,25 +72,30 @@ def _grayscale(img):
     return jnp.tensordot(img, jnp.asarray(GRAY_WEIGHTS, img.dtype), axes=([-1], [0]))
 
 
-# Batched jitter ops; factor f: (N,) broadcast over (N, H, W, C)
+# Batched jitter ops; factor f: (N,) f32, broadcast over (N, H, W, C).
+# Factors are cast to the image dtype at use — jnp promotion would otherwise
+# silently upcast a bfloat16 pixel chain back to f32 (doubling HBM traffic).
 def adjust_brightness(img, f):
-    return jnp.clip(img * f[:, None, None, None], 0.0, 1.0)
+    return jnp.clip(img * f[:, None, None, None].astype(img.dtype), 0.0, 1.0)
 
 
 def adjust_contrast(img, f):
-    mean = _grayscale(img).mean(axis=(1, 2))  # per-image scalar
-    return jnp.clip(f[:, None, None, None] * img + ((1.0 - f) * mean)[:, None, None, None], 0.0, 1.0)
+    # batch-mean accumulates in f32: a bf16 accumulator over 90k pixels drops
+    # increments below sum*2^-8 once the running sum grows
+    mean = _grayscale(img).mean(axis=(1, 2), dtype=jnp.float32)  # per-image scalar
+    add = ((1.0 - f) * mean)[:, None, None, None].astype(img.dtype)
+    return jnp.clip(f[:, None, None, None].astype(img.dtype) * img + add, 0.0, 1.0)
 
 
 def adjust_saturation(img, f):
     gray = _grayscale(img)[..., None]
-    f = f[:, None, None, None]
+    f = f[:, None, None, None].astype(img.dtype)
     return jnp.clip(f * img + (1.0 - f) * gray, 0.0, 1.0)
 
 
 def adjust_hue(img, delta):
     hsv = rgb_to_hsv(img)
-    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta[:, None, None]) % 1.0)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta[:, None, None].astype(img.dtype)) % 1.0)
     return hsv_to_rgb(hsv)
 
 
@@ -134,6 +139,13 @@ def _erase_batch(rng, img, p, max_iter):
     axis in the 128-lane dimension (3/128 utilization — measured 8.6 ms for a
     single masked where at bs32). Working on the flattened (N, H, W*3) view with
     the column mask repeated 3x keeps lanes wide (~0.2 ms).
+
+    Traffic note: erasing writes 0, so applying the iterations sequentially
+    (where(m2, 0, where(m1, 0, where(m0, 0, x)))) equals one where over the
+    OR of the rect masks. A lax.fori_loop body cannot fuse across iterations
+    (each pays a full (N,H,W*3) read+write); the unrolled mask-OR form pays
+    ONE image pass regardless of max_iter — and the single where fuses into
+    the surrounding augment chain.
     """
     n, h, w, c = img.shape
     k_iter, k_rest = jax.random.split(rng)
@@ -141,9 +153,8 @@ def _erase_batch(rng, img, p, max_iter):
     rows = jnp.arange(h)[None, :]  # (1, H)
     cols = jnp.arange(w)[None, :]  # (1, W)
 
-    flat = img.reshape(n, h, w * c)
-
-    def body(i, flat):
+    any_mask = None
+    for i in range(max_iter):
         k = jax.random.fold_in(k_rest, i)
         k_p, k_a, k_r, k_t, k_l = jax.random.split(k, 5)
         do = (jax.random.uniform(k_p, (n,)) < p) & (i < n_iter)
@@ -157,22 +168,35 @@ def _erase_batch(rng, img, p, max_iter):
         col_mask = (cols >= left[:, None]) & (cols < (left + ew)[:, None])  # (N, W)
         col_mask = jnp.repeat(col_mask, c, axis=-1)  # (N, W*C), w-major like the flat view
         mask = row_mask[:, :, None] & col_mask[:, None, :]  # (N, H, W*C)
-        return jnp.where(mask, 0.0, flat)
+        any_mask = mask if any_mask is None else (any_mask | mask)
 
-    return jax.lax.fori_loop(0, max_iter, body, flat).reshape(n, h, w, c)
+    flat = img.reshape(n, h, w * c)
+    return jnp.where(any_mask, 0.0, flat).reshape(n, h, w, c)
 
 
-@functools.partial(jax.jit, static_argnames=("p_jitter", "p_flip", "p_erase", "max_iter", "hue"))
+@functools.partial(jax.jit, static_argnames=("p_jitter", "p_flip", "p_erase", "max_iter", "hue",
+                                              "dtype"))
 def augment_batch(rng, images_u8, gts, p_jitter=0.5, p_flip=0.5, p_erase=0.5, max_iter=3,
-                  hue=0.5):
+                  hue=0.5, dtype=jnp.float32):
     """Batched train-time augmentation on device.
 
-    images_u8: (N, H, W, 3) uint8, gts: (N, G, 4+C) or (N, C) -> float32 images
+    images_u8: (N, H, W, 3) uint8, gts: (N, G, 4+C) or (N, C) -> `dtype` images
     in [0,1], gts (cx reflected for flipped detection rows). hue: hue-jitter
     half-range (reference parity 0.5 = full rotation; see _color_jitter_batch).
+
+    dtype: pixel compute/output dtype. The augment chain is pure elementwise
+    pixel math and is HBM-bandwidth-bound (measured 2.46 ms standalone at bs32
+    f32 — tools/bench_step_breakdown.py r4); bfloat16 halves that traffic.
+    bf16's 8-bit mantissa matches uint8's quantization step (2^-8 relative vs
+    1/255), so augmented-pixel error stays at input-quantization level; the
+    contrast/saturation grayscale terms and their batch-mean reduction are
+    computed in f32 regardless (a bf16 accumulator over 90k pixels would drop
+    low bits catastrophically) and GT math is always f32. Only augmented
+    TRAIN pixels are affected — eval/golden paths (`to_tensor_batch`, the
+    non-augment cast) stay f32.
     """
     n = images_u8.shape[0]
-    img = images_u8.astype(jnp.float32) / 255.0
+    img = images_u8.astype(dtype) / jnp.asarray(255.0, dtype)
     k_jp, k_j, k_fp, k_e = jax.random.split(rng, 4)
 
     # color jitter with per-sample prob p (reference: random.py:11-13)

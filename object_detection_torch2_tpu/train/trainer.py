@@ -55,7 +55,8 @@ class Trainer:
         # Fused on-device augmentation: when set, train_step accepts raw uint8
         # batches and runs jitter/flip/erase INSIDE the step program (single
         # host dispatch per step — dispatch latency through remote runtimes
-        # otherwise dominates; the augment itself is ~2 ms on device at bs32).
+        # otherwise dominates; the augment runs in the model's compute dtype,
+        # see _maybe_augment).
         # The RNG folds state.step into a fixed base key, so the step stays a
         # pure function of (state, batch).
         self.augment_config = ({} if augment is True else dict(augment)) if augment else None
@@ -94,7 +95,13 @@ class Trainer:
         from object_detection_torch2_tpu.data.augment import augment_batch
 
         if self.augment_config is not None and images.dtype == jnp.uint8:
-            return augment_batch(key, images, targets, **self.augment_config)
+            # augment pixels in the model's compute dtype (bf16 flagship):
+            # the chain is bandwidth-bound and bf16's mantissa matches uint8
+            # quantization (see augment_batch docstring). Override with an
+            # explicit `dtype` in the augment config.
+            cfg = dict(self.augment_config)
+            cfg.setdefault("dtype", getattr(self.model, "dtype", jnp.float32))
+            return augment_batch(key, images, targets, **cfg)
         if images.dtype == jnp.uint8:
             return images.astype(jnp.float32) / 255.0, targets
         return images, targets

@@ -118,10 +118,13 @@ def main():
     results["train_step"] = timed(run_train, args.iters)
 
     # --- augmentation only
+    # full-tensor completion probe: an element probe lets XLA slice backwards
+    # through the elementwise chain and DCE most of the augment work (round-3
+    # bench_layers lesson); the sum forces every output pixel to materialize.
     @jax.jit
     def aug(key, img, tg):
         im, tg2 = augment_batch(key, img, tg)
-        return im[0, 0, 0, 0] + tg2[0, 0, 0]
+        return jnp.sum(im, dtype=jnp.float32) + jnp.sum(tg2, dtype=jnp.float32)
 
     def run_aug(k):
         t0 = time.time()
@@ -132,6 +135,23 @@ def main():
         return time.time() - t0
 
     results["augment"] = timed(run_aug, args.iters)
+
+    # --- augmentation in bf16 (what the Trainer actually runs when the model
+    # compute dtype is bfloat16 — the production flagship path)
+    @jax.jit
+    def aug16(key, img, tg):
+        im, tg2 = augment_batch(key, img, tg, dtype=jnp.bfloat16)
+        return jnp.sum(im, dtype=jnp.float32) + jnp.sum(tg2, dtype=jnp.float32)
+
+    def run_aug16(k):
+        t0 = time.time()
+        v = None
+        for i in range(k):
+            v = aug16(jax.random.PRNGKey(i), images_u8, targets)
+        assert np.isfinite(float(v))
+        return time.time() - t0
+
+    results["augment_bf16"] = timed(run_aug16, args.iters)
 
     # --- forward / fwd+loss / fwd+bwd on pre-augmented floats
     @jax.jit
