@@ -181,8 +181,8 @@ def _conv12_pallas(xp: jax.Array, w: jax.Array, b: jax.Array, tile_h: int,
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xc: full padded input, DMA'd manually
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xe: edge windows, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # xc: full padded input, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # xe: edge windows, DMA'd manually
             pl.BlockSpec((3, c2, c2), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, c2, c2), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c2), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
