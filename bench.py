@@ -79,13 +79,31 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     log(f"platform={platform} devices={n_dev} batch={batch_size} scan_k={scan_k} dtype={dtype.__name__}")
 
+    # BENCH_TRUNK_INT8=1: frozen trunk blocks 2-5 on the MXU int8 path
+    # (models/quant.py; the frozen-trunk recipe's weights are inference-only
+    # constants). Activation scales are abs-max-calibrated on random batches —
+    # scale VALUES don't affect throughput, only the int8 program shape does.
+    trunk_int8 = os.environ.get("BENCH_TRUNK_INT8", "") == "1"
+
     mesh = make_mesh()
-    model = SSD(num_classes=21, dtype=dtype)
+    model = SSD(num_classes=21, dtype=dtype, trunk_int8=trunk_int8)
+    plain = SSD(num_classes=21, dtype=dtype)
+    variables = plain.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 300, 300, 3)), train=False)
+    quant = None
+    if trunk_int8:
+        from object_detection_torch2_tpu.models.quant import calibrate_trunk
+
+        calib = np.random.default_rng(1).random((8, 300, 300, 3)).astype(np.float32)
+        quant = calibrate_trunk(plain, variables, [calib])
+        log(f"trunk_int8: calibrated {len(quant)} activation scales")
     # augment=True fuses jitter/flip/erase into the train-step program: ONE host
     # dispatch per step (dispatch latency dominates through remote runtimes)
-    trainer = Trainer(model, loss_kind="multibox", default_boxes=default_boxes(), mesh=mesh, augment=True)
+    trainer = Trainer(model, loss_kind="multibox", default_boxes=default_boxes(), mesh=mesh,
+                      augment=True, quant=quant)
     tx = adam_torch(exponential_epoch_schedule(1e-3, 0.95, 518), weight_decay=5e-4)
-    state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), tx)
+    state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), tx,
+                               variables=variables)
 
     rng = np.random.default_rng(0)
     n = scan_k * batch_size
@@ -140,7 +158,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"SSD300 train images/sec/chip (bs{batch_size}, {dtype.__name__}, "
+                "metric": f"SSD300 train images/sec/chip (bs{batch_size}, {dtype.__name__}"
+                          f"{'+int8-trunk' if trunk_int8 else ''}, "
                           f"{platform} x{n_dev}, {scan_k} steps/dispatch)",
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",

@@ -54,6 +54,10 @@ def add_common_args(parser, batch_size_default: int):
 def add_serving_args(parser):
     """Flags shared by the serving CLIs (inference/evaluate) beyond
     add_common_args."""
+    parser.add_argument("--trunk_int8", action="store_true",
+                        help="serve the frozen VGG trunk's blocks 2-5 on the MXU int8 path "
+                             "(models/quant.py); activation scales are read from "
+                             "<result_dir>/detection/quant.json (written by train.py --trunk_int8)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host data-parallel serving: jax.distributed.initialize() "
                              "(auto-detected on TPU pods; gloo on CPU clusters), mesh over ALL "
@@ -132,6 +136,21 @@ def build_ssd(args, weights_path: Path):
             vgg_vars = ckpt.load_weights(vgg_path)
             variables = merge_variables(variables, ssd_trunk_from_vgg16_variables(vgg_vars))
     return model, variables, labelmap
+
+
+def apply_trunk_int8(args, model, variables):
+    """Serving-side --trunk_int8: clone the model onto the int8 trunk path and
+    inject the calibrated 'quant' collection (written by train.py's
+    auto-calibration) into the variables."""
+    from object_detection_torch2_tpu.models.quant import load_quant
+
+    qp = Path(args.result_dir) / "detection" / "quant.json"
+    if not qp.exists():
+        raise SystemExit(f"--trunk_int8: {qp} not found — run train.py --trunk_int8 "
+                         f"(auto-calibrates and saves it) first")
+    variables = dict(variables)
+    variables["quant"] = {k: jnp.asarray(v, jnp.float32) for k, v in load_quant(qp).items()}
+    return model.clone(trunk_int8=True), variables
 
 
 def batched(iterable_len: int, batch_size: int):

@@ -138,6 +138,8 @@ def main(argv=None):
                         num_workers=args.num_workers)
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
+    if args.trunk_int8:
+        model, variables = common.apply_trunk_int8(args, model, variables)
     variables = jax.tree.map(jnp.asarray, variables)
 
     num_classes = len(labelmap)

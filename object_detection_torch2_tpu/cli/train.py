@@ -19,6 +19,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from tqdm import tqdm
 
 from object_detection_torch2_tpu.cli import common
@@ -94,6 +95,18 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace for epoch 1")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on NaN/Inf in jitted outputs (torch detect_anomaly equivalent; slow)")
+    parser.add_argument("--trunk_int8", action="store_true",
+                        help="run the frozen VGG trunk's blocks 2-5 convs on the MXU's double-rate "
+                             "int8 path (models/quant.py; measured 1.9-2.4x per conv on v5e). "
+                             "Activation scales come from <result_dir>/<purpose>/quant.json, "
+                             "auto-calibrated over the first --calib_batches batches when absent. "
+                             "Detection purpose only; incompatible with --train_trunk")
+    parser.add_argument("--calib_batches", type=int, default=8,
+                        help="batches for int8 activation abs-max calibration")
+    parser.add_argument("--calib_margin", type=float, default=1.25,
+                        help="headroom factor on calibrated abs-maxes (every quantized input is "
+                             "post-batch-stat-BN, so its scale is batch-normalized; the margin "
+                             "covers residual drift at a small quantization-step cost)")
     args = parser.parse_args(argv)
     args.lr_explicit = args.lr is not None
     if args.lr is None:
@@ -138,6 +151,39 @@ def _aug_config(train_aug: str):
     distributions; dict = overrides forwarded to data.augment.augment_batch;
     False = ToTensor only."""
     return {"train": True, "none": False, "reduced_hue": {"hue": 0.05}}[train_aug]
+
+
+def _quant_scales(args, model, variables, dl_train):
+    """Int8 trunk activation scales: load <result_dir>/<purpose>/quant.json if
+    present, else abs-max-calibrate over the first --calib_batches loader
+    batches (un-augmented; every quantized input is post-batch-stat-BN so its
+    range is batch-normalized — --calib_margin covers the residual drift) and
+    save them for the serving CLIs."""
+    from object_detection_torch2_tpu.models import quant as quant_lib
+
+    quant_path = Path(args.result_dir) / args.purpose / "quant.json"
+    if quant_path.exists():
+        print("quant scales loaded.")
+        return quant_lib.load_quant(quant_path)
+
+    def batches():
+        it = iter(dl_train)
+        for _ in range(args.calib_batches):
+            try:
+                images, _ = next(it)
+            except StopIteration:
+                return
+            images = np.asarray(jax.device_get(images))
+            if images.ndim == 5:  # (K, B, ...) stacked-dispatch loader
+                images = images.reshape(-1, *images.shape[2:])
+            yield images[:args.batch_size]
+
+    scales = quant_lib.calibrate_trunk(model, variables, batches(), margin=args.calib_margin)
+    quant_path.parent.mkdir(parents=True, exist_ok=True)
+    quant_lib.save_quant(quant_path, scales)
+    print(f"quant scales calibrated ({args.calib_batches} batches, "
+          f"margin {args.calib_margin}) -> {quant_path}")
+    return scales
 
 
 def _build_datasets(args):
@@ -187,6 +233,12 @@ def main(argv=None):
     detection = args.purpose == Purpose.DETECTION.value
     if detection:
         model, variables, labelmap = common.build_ssd(args, weights_path)
+        quant_scales = None
+        if args.trunk_int8:
+            if args.train_trunk:
+                raise SystemExit("--trunk_int8 requires a frozen trunk (drop --train_trunk)")
+            model = model.clone(trunk_int8=True)
+            quant_scales = _quant_scales(args, model, variables, dl_train)
         trainer = Trainer(
             model,
             loss_kind="multibox",
@@ -195,6 +247,7 @@ def main(argv=None):
             use_batch_stats=args.bn_mode == "batch",
             augment=_aug_config(args.train_aug),  # jitter/flip/erase fused into the step program
             seed=args.seed,
+            quant=quant_scales,
         )
         # reference parity: the VGG trunk is frozen (src/model/ssd.py:31-32,
         # 160-179) — its recipe assumes an ImageNet-pretrained trunk.

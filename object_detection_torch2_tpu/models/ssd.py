@@ -207,6 +207,20 @@ class SSD(nn.Module):
     # tools/bench_conv12.py --pad_pairs 1 2 4): 2.908 / 2.902 / 2.870 ms —
     # 4 (=154 columns) is the default (+1.3% on this conv).
     conv12_pad_pairs: int = 4
+    # Run the frozen trunk's blocks 2-5 convs on the MXU's double-rate int8
+    # path (v5e: 394 TOPS int8 vs 197 TFLOP/s bf16; measured 1.9-2.4x on these
+    # shapes, tools/bench_int8_conv.py). Weights are quantized in-graph from
+    # the frozen f32 params (per-out-channel symmetric); activations use
+    # static per-tensor scales from a calibrated 'quant' variable collection
+    # ({amax_<layer>}) that MUST be supplied in `variables` (see
+    # models/quant.py). BN/ReLU stay float; checkpoints are unchanged.
+    # Legitimate only because the trunk is frozen (reference parity:
+    # src/model/ssd.py:160-179) — Trainer.init_state enforces that.
+    trunk_int8: bool = False
+    # Calibration mode: run the float path but record each quantized-input
+    # abs-max into the mutable 'quant' collection (models/quant.py
+    # calibrate_trunk drives this).
+    quant_calibrate: bool = False
 
     def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
                       batch_mask=None):
@@ -229,6 +243,40 @@ class SSD(nn.Module):
             name=f"bn_{name_suffix}",
         )(x, mask=batch_mask)
         return nn.relu(x)
+
+    def _conv_bn_relu_q(self, x, name_suffix, features, use_batch_stats, batch_mask=None):
+        """Trunk conv on the int8 MXU path (see `trunk_int8` above): quantize
+        the input with its calibrated static scale (a pure elementwise tail
+        XLA fuses into the producer's BN+ReLU kernel, so the activation lands
+        in HBM as int8), s8xs8->s32 conv, per-out-channel dequant + bias in
+        the epilogue; BN/ReLU unchanged in float. In `quant_calibrate` mode
+        runs the float conv and records the input abs-max instead. Params are
+        held by _ConvParams under nn.Conv's exact layout — checkpoints and
+        converters see no difference."""
+        from object_detection_torch2_tpu.models import quant
+
+        cin = x.shape[-1]
+        kernel, bias = _ConvParams((3, 3, cin, features), self.param_dtype,
+                                   name=f"conv_{name_suffix}")()
+        amax = self.variable("quant", f"amax_{name_suffix}",
+                             lambda: jnp.zeros((), jnp.float32))
+        if not self.trunk_int8:  # calibration (or init) — float conv, record amax
+            if self.quant_calibrate and not self.is_initializing():
+                amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=self.precision,
+            ) + bias.astype(self.dtype)
+        else:
+            sx = jnp.maximum(amax.value, 1e-12) / 127.0
+            sw = quant.weight_scales(kernel)
+            y32 = quant.int8_conv(quant.quantize_act(x, sx), quant.quantize_weight(kernel, sw))
+            y = (y32.astype(jnp.float32) * (sx * sw)).astype(self.dtype) + bias.astype(self.dtype)
+        y = BatchNormTPU(
+            use_running_average=not use_batch_stats, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=f"bn_{name_suffix}",
+        )(y, mask=batch_mask)
+        return nn.relu(y)
 
     def _block1_paired(self, x, use_batch_stats, batch_mask, up_to=None):
         """conv_1_1 -> bn -> relu -> conv_1_2 -> bn -> relu -> pool_1, computed
@@ -305,10 +353,14 @@ class SSD(nn.Module):
             if up_to in ("1_1", "1_2"):
                 return x
             blocks = VGG_BLOCKS[1:]
+        quantize = self.trunk_int8 or self.quant_calibrate
         for block, channels, pool in blocks:
             for sub, ch in enumerate(channels, start=1):
                 suffix = f"{block}_{sub}"
-                x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats, batch_mask)
+                if quantize and block >= 2:  # blocks 2-5: frozen, int8-eligible
+                    x = self._conv_bn_relu_q(x, suffix, ch, use_batch_stats, batch_mask)
+                else:
+                    x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats, batch_mask)
                 if suffix in taps:
                     feature_maps[suffix] = x
                 if up_to == suffix and sub < len(channels):

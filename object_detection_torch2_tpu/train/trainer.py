@@ -44,6 +44,7 @@ class Trainer:
         use_batch_stats: bool = True,
         augment: dict | bool = False,
         seed: int = 0,
+        quant: dict | None = None,
     ):
         self.model = model
         self.loss_kind = loss_kind
@@ -63,6 +64,15 @@ class Trainer:
         self._aug_base_key = jax.random.PRNGKey(seed ^ 0x5EED)
         if loss_kind == "multibox" and self.default_boxes is None:
             raise ValueError("multibox loss requires default_boxes")
+        # Int8 trunk (models/quant.py): calibrated activation amaxes ride as a
+        # closure-captured 'quant' collection — compile-time constants, so XLA
+        # folds the dequant scales. Tiny (one scalar per quantized layer).
+        self.quant = None
+        if getattr(model, "trunk_int8", False):
+            from object_detection_torch2_tpu.models.quant import check_calibrated
+
+            self.quant = {k: jnp.asarray(v, jnp.float32)
+                          for k, v in check_calibrated(quant).items()}
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
@@ -77,6 +87,8 @@ class Trainer:
     # ------------------------------------------------------------------- steps
     def _forward(self, params, frozen, batch_stats, images, rng, train):
         variables = {"params": merge_params(params, frozen), "batch_stats": batch_stats}
+        if self.quant is not None:
+            variables["quant"] = self.quant
         rngs = {"dropout": rng} if rng is not None else None
         out, mutated = self.model.apply(
             variables,
@@ -165,6 +177,14 @@ class Trainer:
             variables = self.model.init({"params": rng, "dropout": rng}, sample_images, train=False)
         if is_trainable is None:
             is_trainable = getattr(type(self.model), "is_trainable", lambda path: True)
+        if getattr(self.model, "trunk_int8", False):
+            # int8 trunk is inference-only math: a trainable trunk param would
+            # silently get zero gradient through round/clip (models/quant.py)
+            quantized = [k for k in variables["params"]
+                         if is_trainable((k,)) and k.split("_")[0] in ("conv", "bn")
+                         and k.split("_")[1].isdigit() and int(k.split("_")[1]) <= 5]
+            if quantized:
+                raise ValueError(f"trunk_int8 requires a frozen trunk; trainable: {quantized}")
         state = TrainState.create(variables, tx, is_trainable)
         if self.mesh is not None:
             state = mesh_lib.replicate(self.mesh, state)

@@ -1,0 +1,189 @@
+"""Int8 frozen-trunk quantization (models/quant.py + SSD.trunk_int8).
+
+Quick tier: unit math (exact numpy int32 conv oracle, scale round-trips,
+saturation, contracts) plus trunk-level calibrate->int8 parity at 64x64 via
+`up_to='5_3'` (no head pyramid, no full-model compile). The full-model int8
+forward + Trainer step run at the minimum pyramid-valid imsize (264) in the
+full tier.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from object_detection_torch2_tpu.models import quant
+from object_detection_torch2_tpu.models.ssd import SSD
+
+IMSIZE = 64  # trunk-only tests; 264 is the smallest full-pyramid size
+
+
+def _numpy_int8_conv(x8, w8):
+    """Exact s8xs8->s32 SAME/stride-1 conv oracle (int32 accumulation)."""
+    x = np.asarray(x8, np.int32)
+    w = np.asarray(w8, np.int32)
+    n, h, ww, cin = x.shape
+    kh, kw, _, cout = w.shape
+    xp = np.zeros((n, h + 2, ww + 2, cin), np.int32)
+    xp[:, 1:-1, 1:-1] = x
+    out = np.zeros((n, h, ww, cout), np.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = xp[:, dy:dy + h, dx:dx + ww, :]
+            out += np.einsum("nhwc,co->nhwo", patch, w[dy, dx], dtype=np.int64).astype(np.int32)
+    return out
+
+
+@pytest.mark.quick
+def test_int8_conv_exact_vs_numpy():
+    rng = np.random.default_rng(0)
+    x8 = jnp.asarray(rng.integers(-127, 128, (2, 10, 10, 16)), jnp.int8)
+    w8 = jnp.asarray(rng.integers(-127, 128, (3, 3, 16, 24)), jnp.int8)
+    got = np.asarray(quant.int8_conv(x8, w8))
+    np.testing.assert_array_equal(got, _numpy_int8_conv(x8, w8))
+
+
+@pytest.mark.quick
+def test_weight_quantization_roundtrip():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
+    sw = quant.weight_scales(w)
+    assert sw.shape == (16,)
+    w8 = quant.quantize_weight(w, sw)
+    assert w8.dtype == jnp.int8
+    # max |w| per channel maps to +-127 exactly; dequant error <= scale/2
+    np.testing.assert_array_equal(np.max(np.abs(np.asarray(w8)), axis=(0, 1, 2)),
+                                  np.full(16, 127))
+    err = np.abs(np.asarray(w8, np.float32) * np.asarray(sw) - np.asarray(w))
+    assert float(err.max()) <= float(np.max(np.asarray(sw))) / 2 + 1e-7
+
+
+@pytest.mark.quick
+def test_quantize_act_saturates():
+    x = jnp.asarray([-10.0, -1.0, 0.0, 0.5, 10.0], jnp.float32).reshape(1, 1, 1, 5)
+    q = np.asarray(quant.quantize_act(x, jnp.float32(1.0 / 127.0)))
+    np.testing.assert_array_equal(q.ravel(), [-127, -127, 0, 64, 127])
+
+
+@pytest.mark.quick
+def test_check_calibrated_rejects_missing_and_zero():
+    with pytest.raises(ValueError):
+        quant.check_calibrated(None)
+    with pytest.raises(ValueError):
+        quant.check_calibrated({})
+    good = {f"amax_{l}": 1.0 for l in quant.QUANT_LAYERS}
+    quant.check_calibrated(good)
+    bad = dict(good, amax_3_2=0.0)
+    with pytest.raises(ValueError, match="3_2"):
+        quant.check_calibrated(bad)
+
+
+@pytest.fixture(scope="module")
+def small_ssd():
+    model = SSD(num_classes=21)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, IMSIZE, IMSIZE, 3))
+    variables = model.init(rng, x0, train=False, up_to="5_3")
+    variables = {"params": dict(variables["params"]), "batch_stats": dict(variables["batch_stats"])}
+    imgs = jnp.asarray(np.random.default_rng(2).random((2, IMSIZE, IMSIZE, 3)), jnp.float32)
+    return model, variables, imgs
+
+
+@pytest.mark.quick
+def test_default_variables_carry_no_quant_collection(small_ssd):
+    _, variables, _ = small_ssd
+    assert set(variables) == {"params", "batch_stats"}
+
+
+@pytest.mark.quick
+def test_calibrate_then_int8_trunk_tracks_float(small_ssd):
+    model, variables, imgs = small_ssd
+    qd = quant.calibrate_trunk(model, variables, [imgs])
+    assert set(qd) == {f"amax_{l}" for l in quant.QUANT_LAYERS}
+    assert all(v > 0 for v in qd.values())
+    quant.check_calibrated(qd)
+
+    ref = model.apply(variables, imgs, train=False, up_to="5_3",
+                      mutable=["batch_stats"])[0]
+    q_model = SSD(num_classes=21, trunk_int8=True)
+    out = q_model.apply(
+        {**variables, "quant": {k: jnp.float32(v) for k, v in qd.items()}},
+        imgs, train=False, up_to="5_3", mutable=["batch_stats"])[0]
+    assert out.shape == ref.shape and bool(jnp.all(jnp.isfinite(out)))
+    a, b = np.asarray(ref, np.float64).ravel(), np.asarray(out, np.float64).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    # random kaiming weights + uniform-noise images are a WORST case for PTQ
+    # (no training has shaped the distributions); trained weights track much
+    # tighter (BF16/INT8 budget A/B in README)
+    assert cos > 0.98, cos
+    assert 0.5 < float(np.std(b) / np.std(a)) < 2.0
+
+
+@pytest.mark.quick
+def test_calibration_margin_scales_amax(small_ssd):
+    model, variables, imgs = small_ssd
+    q1 = quant.calibrate_trunk(model, variables, [imgs])
+    q2 = quant.calibrate_trunk(model, variables, [imgs], margin=1.25)
+    for k in q1:
+        assert np.isclose(q2[k], 1.25 * q1[k], rtol=1e-6)
+
+
+@pytest.mark.quick
+def test_trainer_rejects_uncalibrated_and_trainable_trunk(small_ssd):
+    from object_detection_torch2_tpu.train.trainer import Trainer
+
+    model, variables, imgs = small_ssd
+    dummy_boxes = jnp.zeros((8, 4), jnp.float32)
+    q_model = SSD(num_classes=21, trunk_int8=True)
+    with pytest.raises(ValueError, match="calibrat"):
+        Trainer(q_model, default_boxes=dummy_boxes)
+
+    qd = quant.calibrate_trunk(model, variables, [imgs])
+    trainer = Trainer(q_model, default_boxes=dummy_boxes, quant=qd)
+    with pytest.raises(ValueError, match="frozen"):
+        trainer.init_state(jax.random.PRNGKey(0), imgs, optax.sgd(1e-3),
+                           is_trainable=lambda path: True, variables=variables)
+
+
+@pytest.mark.quick
+def test_quant_json_roundtrip(tmp_path, small_ssd):
+    model, variables, imgs = small_ssd
+    qd = quant.calibrate_trunk(model, variables, [imgs])
+    p = tmp_path / "quant.json"
+    quant.save_quant(p, qd)
+    assert quant.load_quant(p) == qd
+
+
+def test_trainer_int8_train_step_full_model():
+    """Full tier: real SSD at the minimum pyramid size, one int8-trunk train
+    step through the Trainer — quant plumbing, frozen partition, finite loss."""
+    from object_detection_torch2_tpu.core.anchors import default_boxes, feature_grids_for
+    from object_detection_torch2_tpu.train.trainer import Trainer
+
+    imsize = 264
+    model = SSD(num_classes=21)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)), train=False)
+    variables = {"params": dict(variables["params"]), "batch_stats": dict(variables["batch_stats"])}
+    imgs = jnp.asarray(np.random.default_rng(3).random((1, imsize, imsize, 3)), jnp.float32)
+    qd = quant.calibrate_trunk(model, variables, [imgs])
+
+    q_model = SSD(num_classes=21, trunk_int8=True)
+    boxes = jnp.asarray(default_boxes(feature_grids_for(imsize)))
+    trainer = Trainer(q_model, default_boxes=boxes, quant=qd)
+    state = trainer.init_state(jax.random.PRNGKey(0), imgs, optax.sgd(1e-3),
+                               variables=variables)
+    targets = np.zeros((1, 2, 25), np.float32)
+    targets[:, 0, :4] = [0.5, 0.5, 0.4, 0.4]  # one GT box (normalized center-form)
+    targets[:, 0, 9] = 1.0  # class 5
+    # snapshot BEFORE the step: train_step donates the state buffers
+    trunk_before = np.asarray(state.frozen["conv_3_1"]["kernel"]).copy()
+    heads_before = {k: np.asarray(v["kernel"]).copy()
+                    for k, v in state.params.items() if k.startswith("det_")}
+    state2, loss = trainer.train_step(state, imgs, jnp.asarray(targets))
+    assert bool(jnp.isfinite(loss))
+    # trunk untouched; at least one head updated (hard-negative mining may
+    # select no anchors at a given tap, leaving that head's grad exactly zero)
+    assert np.array_equal(trunk_before, np.asarray(state2.frozen["conv_3_1"]["kernel"]))
+    assert any(not np.array_equal(v, np.asarray(state2.params[k]["kernel"]))
+               for k, v in heads_before.items())

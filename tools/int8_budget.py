@@ -1,0 +1,218 @@
+"""Int8-trunk accuracy budget: what does the MXU int8 path cost in mAP?
+
+Three measurements, strongest first (the bf16 A/B taught that 120-epoch
+trajectories on a 48-image held-out set carry ~0.05 mAP of seed-level chaos —
+NOTES_ROUND4.md — so the same-weights comparisons are the load-bearing ones):
+
+  1. TRUNK DRIFT (same weights, no training in the loop): the trained trunk's
+     block-5 output, float vs int8 path, on held-out images — cosine and
+     relative error of the features every head consumes.
+  2. SAME-WEIGHTS EVAL A/B: evaluate ONE set of trained detection weights
+     with the float trunk and with the int8 trunk (PTQ applied at serving
+     time) — pure quantization cost on held-out mAP, zero trajectory noise.
+  3. TRAINED-WITH-INT8 ARM: the full flagship recipe (frozen pretrained
+     trunk, heads-only training) re-run with --trunk_int8 from the SAME
+     pretrained trunk and seed — shows the int8 forward is safe to train
+     against, not just to serve.
+
+Setup mirrors tools/pretrained_trunk_proof.py --trunk_source detection: the
+trunk is pretrained by full-SSD training on a DISJOINT synthetic split (no
+ImageNet weights exist in this zero-egress environment), then frozen
+(reference parity: src/model/ssd.py:31-32,160-179).
+
+Writes INT8_BUDGET.json. Usage:
+  python tools/int8_budget.py [--pretrain_epochs 100] [--det_epochs 120]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pretrain_epochs", type=int, default=100)
+    parser.add_argument("--det_epochs", type=int, default=120)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--eval_batch_size", type=int, default=4)
+    parser.add_argument("--n_train", type=int, default=640)
+    parser.add_argument("--n_test", type=int, default=48)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--gamma", type=float, default=0.99)
+    parser.add_argument("--train_aug", type=str, default="none",
+                        choices=["train", "none", "reduced_hue"])
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--calib_margin", type=float, default=1.25)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--work_dir", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tools.synth_voc import generate
+
+    from object_detection_torch2_tpu.cli import evaluate as eval_cli
+    from object_detection_torch2_tpu.cli import train as train_cli
+    from object_detection_torch2_tpu.cli.common import DTYPES
+    from object_detection_torch2_tpu.data.voc import PascalVOCDataset
+    from object_detection_torch2_tpu.models import quant as quant_lib
+    from object_detection_torch2_tpu.models.convert import merge_variables
+    from object_detection_torch2_tpu.models.ssd import SSD
+    from object_detection_torch2_tpu.models.vgg16 import VGG16
+    from object_detection_torch2_tpu.train.checkpoint import load_weights, save_weights
+
+    work = Path(args.work_dir or tempfile.mkdtemp(prefix="int8_budget_"))
+    work.mkdir(parents=True, exist_ok=True)
+    if args.data_dir:
+        data = args.data_dir
+    else:
+        data = str(work / "data")
+        generate(Path(data), args.n_train, args.n_test, seed=0)
+
+    # ---- stage A: pretrain a trunk on a DISJOINT split (seed 1) -------------
+    t0 = time.time()
+    pre_data = str(work / "pre_data")
+    pre_result = str(work / "pre_result")
+    if not (Path(pre_result) / "detection" / "weights.msgpack").exists():
+        generate(Path(pre_data), args.n_train, 16, seed=1)
+        train_cli.main([
+            "--data_dirs", pre_data, "--result_dir", pre_result,
+            "--dtype", args.dtype, "--num_workers", str(args.num_workers),
+            "--purpose", "detection", "--train_trunk",
+            "--log_dir", str(work / "logs_pre"),
+            "--epochs", str(args.pretrain_epochs),
+            "--batch_size", str(args.batch_size),
+            "--lr", str(args.lr), "--gamma", str(args.gamma),
+            "--train_aug", "none", "--val_aug", "none",
+            "--save_interval", "10",
+        ])
+    ssd_vars = load_weights(Path(pre_result) / "detection" / "weights.msgpack")
+    trunk_overlay = {
+        coll: {k: v for k, v in ssd_vars[coll].items()
+               if k.split("_")[1].isdigit() and int(k.split("_")[1]) <= 5}
+        for coll in ("params", "batch_stats")
+    }
+    vgg = VGG16(num_classes=20)
+    base = vgg.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                    jnp.zeros((1, 300, 300, 3)), train=False)
+    base = {"params": dict(base["params"]), "batch_stats": dict(base["batch_stats"])}
+    cls_vars = merge_variables(base, trunk_overlay)
+    pretrain_s = time.time() - t0
+
+    def seed_arm(arm_dir: Path):
+        cw = arm_dir / "classification" / "weights.msgpack"
+        cw.parent.mkdir(parents=True, exist_ok=True)
+        save_weights(cw, cls_vars)
+
+    common = ["--data_dirs", data, "--dtype", args.dtype,
+              "--num_workers", str(args.num_workers)]
+
+    def train_arm(arm_dir: Path, extra):
+        train_cli.main(common + [
+            "--result_dir", str(arm_dir),
+            "--log_dir", str(arm_dir / "logs"),
+            "--epochs", str(args.det_epochs),
+            "--batch_size", str(args.batch_size),
+            "--lr", str(args.lr), "--gamma", str(args.gamma),
+            "--train_aug", args.train_aug, "--val_aug", "none",
+            "--save_interval", "10",
+            # NO --train_trunk: trunk auto-seeded from classification/ and frozen
+        ] + extra)
+
+    def eval_arm(arm_dir: Path, extra):
+        aps, mean_ap, strict = eval_cli.main(common + [
+            "--result_dir", str(arm_dir),
+            "--batch_size", str(args.eval_batch_size),
+            "--strict_ap",
+        ] + extra)
+        return round(float(mean_ap), 4), round(float(strict), 4)
+
+    # ---- arm F: float trunk (the bf16 flagship as shipped) ------------------
+    t1 = time.time()
+    arm_f = work / "arm_float"
+    seed_arm(arm_f)
+    train_arm(arm_f, [])
+    float_train_s = time.time() - t1
+    map_f, strict_f = eval_arm(arm_f, [])
+
+    # ---- measurement 1+2 on arm F's weights ---------------------------------
+    # calibrate activation scales for the TRAINED weights on training images
+    model = SSD(num_classes=21, dtype=DTYPES[args.dtype])
+    det_vars = load_weights(arm_f / "detection" / "weights.msgpack")
+    ds_train = PascalVOCDataset("detection", [data], "trainval.txt", 300)
+    calib = np.stack([ds_train[i][0] for i in range(min(32, len(ds_train)))])
+    qd = quant_lib.calibrate_trunk(model, det_vars, [calib], margin=args.calib_margin)
+    quant_lib.save_quant(arm_f / "detection" / "quant.json", qd)
+
+    # trunk drift on held-out images: float vs int8 block-5 features
+    ds_test = PascalVOCDataset("detection", [data], "test.txt", 300)
+    test_imgs = np.stack([ds_test[i][0] for i in range(min(16, len(ds_test)))])
+    x = jnp.asarray(test_imgs, jnp.float32) / 255.0
+    feats_f = model.apply(det_vars, x, train=False, up_to="5_3",
+                          mutable=["batch_stats"])[0]
+    q_model = SSD(num_classes=21, dtype=DTYPES[args.dtype], trunk_int8=True)
+    feats_q = q_model.apply(
+        {**det_vars, "quant": {k: jnp.float32(v) for k, v in qd.items()}},
+        x, train=False, up_to="5_3", mutable=["batch_stats"])[0]
+    a = np.asarray(feats_f, np.float64).ravel()
+    b = np.asarray(feats_q, np.float64).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    rel = float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12))
+
+    # same-weights eval A/B: PTQ at serving time, zero trajectory noise
+    map_f_int8serve, strict_f_int8serve = eval_arm(arm_f, ["--trunk_int8"])
+
+    # ---- arm Q: trained WITH the int8 trunk (same pretrained trunk + seed) --
+    t2 = time.time()
+    arm_q = work / "arm_int8"
+    seed_arm(arm_q)
+    train_arm(arm_q, ["--trunk_int8", "--calib_margin", str(args.calib_margin)])
+    int8_train_s = time.time() - t2
+    map_q, strict_q = eval_arm(arm_q, ["--trunk_int8"])
+
+    record = {
+        "setup": f"detection-pretrained trunk (disjoint split, {args.pretrain_epochs} ep) "
+                 f"-> frozen-trunk heads-only training, {args.det_epochs} ep, "
+                 f"{args.n_train} train / {args.n_test} held-out, dtype {args.dtype}",
+        "trunk_feature_drift_int8_vs_float": {
+            "cosine": round(cos, 6), "rel_l2": round(rel, 6),
+            "note": "block-5 output on held-out images, same trained weights",
+        },
+        "same_weights_eval_ab": {
+            "float_trunk": {"parity_mAP": map_f, "strict_mAP": strict_f},
+            "int8_trunk_serving": {"parity_mAP": map_f_int8serve, "strict_mAP": strict_f_int8serve},
+            "note": "ONE set of trained weights evaluated both ways — pure PTQ cost, "
+                    "no trajectory chaos",
+        },
+        "trained_with_int8_arm": {
+            "parity_mAP": map_q, "strict_mAP": strict_q,
+            "train_seconds": round(int8_train_s, 1),
+            "float_arm_train_seconds": round(float_train_s, 1),
+            "note": "same pretrained trunk + seed as the float arm; differences vs the "
+                    "float arm's mAP include 120-epoch trajectory chaos (~0.05 band, "
+                    "NOTES_ROUND4.md bf16 A/B)",
+        },
+        "calib_margin": args.calib_margin,
+        "pretrain_seconds": round(pretrain_s, 1),
+    }
+    out = REPO / "INT8_BUDGET.json"
+    out.write_text(json.dumps(record, indent=2) + "\n")
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
