@@ -40,10 +40,14 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-# Quantized trunk layers: blocks 2-5 (all 3x3/s1/p1, C_in >= 64). Block 1 runs
-# the paired-x bf16 path (conv_1_1 is store-bound with C_in=3 — no MXU win to
-# quantize; see models/ssd.py paired_block1).
-QUANT_LAYERS = ("2_1", "2_2", "3_1", "3_2", "3_3", "4_1", "4_2", "4_3", "5_1", "5_2", "5_3")
+# Quantized trunk layers: conv_1_2 and blocks 2-5 (all 3x3/s1/p1, C_in >= 64).
+# conv_1_1 itself stays float (C_in=3 — no MXU win to quantize, and its input
+# is the image), but quantizing conv_1_2's INPUT halves conv_1_1's output
+# store — the store-bound layer's dominant cost (184 MB bf16 at bs32) — since
+# the quantize fuses into bn_1_1+relu's epilogue and the activation lands in
+# HBM as int8. In the paired-x layout conv_1_2 runs the staggered int8 conv
+# (models/ssd.py conv12_staggered_int8), bit-identical to the plain int8 conv.
+QUANT_LAYERS = ("1_2", "2_1", "2_2", "3_1", "3_2", "3_3", "4_1", "4_2", "4_3", "5_1", "5_2", "5_3")
 
 
 def weight_scales(w: jax.Array) -> jax.Array:
@@ -101,7 +105,7 @@ def calibrate_trunk(model, variables: dict, batches, use_batch_stats: bool = Tru
     are read but their running-stat updates are DISCARDED (calibration must
     not advance training state). `margin` scales the recorded amaxes
     (headroom for distribution drift; 1.0 = pure abs-max). Every quantized
-    layer sits in blocks 2-5, so the forward runs only up to `up_to`
+    layer sits in the trunk, so the forward runs only up to `up_to`
     (default '5_3' — extras/heads never execute during calibration)."""
     calib = model.clone(quant_calibrate=True, trunk_int8=False)
 

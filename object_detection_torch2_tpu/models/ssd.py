@@ -162,6 +162,35 @@ def conv12_staggered(xp: jax.Array, w: jax.Array, b: jax.Array,
     return y + jnp.tile(b, 2).astype(xp.dtype)
 
 
+def conv12_staggered_int8(xp: jax.Array, w: jax.Array, b: jax.Array, sx: jax.Array,
+                          dtype, pad_pairs: int = 1) -> jax.Array:
+    """conv12_staggered on the MXU int8 path: quantize the paired input with
+    its calibrated static scale (the quantize fuses into bn_1_1+relu's
+    epilogue, so conv_1_1's store-bound output lands in HBM as int8 — half
+    the bf16 bytes), quantize the BASE 3x3 kernel per-output-channel and
+    stagger the int8 weights (the stagger only places blocks; its structural
+    zeros are exact in int8), s8xs8->s32 conv, per-channel dequant + bias.
+
+    Bit-identical to the plain-layout int8 conv (models/quant.py int8_conv on
+    the unpaired tensor): the staggered form accumulates the same int8
+    products in int32, and the dequant multiplies the same f32 scale values
+    (tile(sw, 2) maps each paired slot to its base channel's scale)."""
+    from object_detection_torch2_tpu.models import quant
+
+    wpl = xp.shape[2]
+    cout = w.shape[-1]
+    sw = quant.weight_scales(w)
+    w48 = stagger_conv12_weights(quant.quantize_weight(w, sw))
+    y32 = jax.lax.conv_general_dilated(
+        quant.quantize_act(xp, sx), w48, (1, 1), ((1, 1), (1, pad_pairs)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y32.astype(jnp.float32) * (sx * jnp.tile(sw, 2))).astype(dtype)
+    y = jnp.concatenate([y[:, :, :wpl, :cout], y[:, :, 1:wpl + 1, cout:]], axis=-1)
+    return y + jnp.tile(b, 2).astype(dtype)
+
+
 class SSD(nn.Module):
     """SSD300. Input (N, H, W, 3) in [0, 1]; output (N, 8732, num_classes + 4) float32.
 
@@ -207,9 +236,11 @@ class SSD(nn.Module):
     # tools/bench_conv12.py --pad_pairs 1 2 4): 2.908 / 2.902 / 2.870 ms —
     # 4 (=154 columns) is the default (+1.3% on this conv).
     conv12_pad_pairs: int = 4
-    # Run the frozen trunk's blocks 2-5 convs on the MXU's double-rate int8
-    # path (v5e: 394 TOPS int8 vs 197 TFLOP/s bf16; measured 1.9-2.4x on these
-    # shapes, tools/bench_int8_conv.py). Weights are quantized in-graph from
+    # Run the frozen trunk's convs (conv_1_2 + blocks 2-5) on the MXU's
+    # double-rate int8 path (v5e: 394 TOPS int8 vs 197 TFLOP/s bf16; measured
+    # 1.9-2.4x on these shapes, tools/bench_int8_conv.py). conv_1_2 uses the
+    # staggered int8 form (conv12_staggered_int8) — quantizing its input also
+    # halves store-bound conv_1_1's output write. Weights are quantized in-graph from
     # the frozen f32 params (per-out-channel symmetric); activations use
     # static per-tensor scales from a calibrated 'quant' variable collection
     # ({amax_<layer>}) that MUST be supplied in `variables` (see
@@ -298,6 +329,26 @@ class SSD(nn.Module):
             use_kernel = False
         for sub, cin, cout in ((1, 3, 64), (2, 64, 64)):
             kernel, bias = _ConvParams((3, 3, cin, cout), self.param_dtype, name=f"conv_1_{sub}")()
+            if sub == 2 and (self.trunk_int8 or self.quant_calibrate):
+                # conv_1_2 is frozen too: int8-eligible (quant.QUANT_LAYERS).
+                # The int8 path always uses the staggered form (exact math,
+                # bit-identical to the plain int8 conv) regardless of the
+                # float-path kernel/stagger perf knobs.
+                amax = self.variable("quant", "amax_1_2",
+                                     lambda: jnp.zeros((), jnp.float32))
+                if self.trunk_int8:
+                    sx = jnp.maximum(amax.value, 1e-12) / 127.0
+                    xp = conv12_staggered_int8(xp, kernel, bias, sx, self.dtype,
+                                               pad_pairs=self.conv12_pad_pairs)
+                    xp = BatchNormTPU(
+                        use_running_average=not use_batch_stats, momentum=0.9,
+                        epsilon=1e-5, dtype=self.dtype, fold=2, name="bn_1_2",
+                    )(xp, mask=batch_mask)
+                    xp = nn.relu(xp)
+                    break
+                if not self.is_initializing():  # quant_calibrate: record, run float
+                    amax.value = jnp.maximum(amax.value,
+                                             jnp.max(jnp.abs(xp.astype(jnp.float32))))
             if sub == 2 and use_kernel:
                 xp = conv12_paired(xp.astype(self.dtype), kernel, bias).astype(self.dtype)
             elif sub == 2 and self.conv12_stagger:
@@ -357,7 +408,7 @@ class SSD(nn.Module):
         for block, channels, pool in blocks:
             for sub, ch in enumerate(channels, start=1):
                 suffix = f"{block}_{sub}"
-                if quantize and block >= 2:  # blocks 2-5: frozen, int8-eligible
+                if quantize and (block >= 2 or suffix == "1_2"):  # frozen, int8-eligible
                     x = self._conv_bn_relu_q(x, suffix, ch, use_batch_stats, batch_mask)
                 else:
                     x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats, batch_mask)

@@ -9,13 +9,26 @@ JAX_COMPILATION_CACHE_DIR="" (empty).
 
 The DEFAULT cache path is keyed by a host fingerprint (arch + CPU-feature
 hash): XLA:CPU AOT results embed the compiling machine's vector ISA, and
-reusing them on a host with different CPU features can SIGILL at execution
-("Machine type used for XLA:CPU compilation doesn't match the machine type
-for execution" — observed in MULTICHIP_r03.json; judge r3 weak #4). TPU
-executables are keyed too — harmless (one extra cold compile per host class),
-and it keeps the policy simple. An explicit JAX_COMPILATION_CACHE_DIR is
-honored verbatim: sharing a cache dir across identical hosts is the intended
-use; sharing across heterogeneous hosts is then the caller's responsibility.
+reusing them on a host with different CPU features can SIGILL at execution.
+TPU executables are keyed too — harmless (one extra cold compile per host
+class), and it keeps the policy simple. An explicit JAX_COMPILATION_CACHE_DIR
+is honored verbatim: sharing a cache dir across identical hosts is the
+intended use; sharing across heterogeneous hosts is then the caller's
+responsibility.
+
+KNOWN FALSE POSITIVE (measured round 4, /tmp cache probe): the XLA:CPU AOT
+loader's "Machine type used for XLA:CPU compilation doesn't match the machine
+type for execution … could lead to execution errors such as SIGILL" warning
+fires even when an artifact is compiled and reloaded on the SAME machine in
+the same session. The loader diffs the compile-time LLVM feature string —
+which includes per-model TUNING preferences like +prefer-no-gather /
++prefer-no-scatter — against CPUID-detected host features, which by
+construction never contain tuning flags. When the fingerprint-keyed cache dir
+matches, the warning is noise, not a hazard; it cannot be silenced without
+suppressing real XLA errors (the GPU-only persistent_cache_enable_xla_caches
+knob does not gate CPU AOT). Rounds 3-4 hardened the fingerprint
+(vendor/family/model/stepping + flags) chasing this warning; the probe shows
+the residual warnings are the loader quirk, not cross-host reuse.
 """
 
 from __future__ import annotations

@@ -79,6 +79,61 @@ def test_check_calibrated_rejects_missing_and_zero():
         quant.check_calibrated(bad)
 
 
+@pytest.mark.quick
+def test_conv12_staggered_int8_matches_plain_int8():
+    """The paired-layout staggered int8 conv_1_2 is BIT-identical to the plain
+    int8 conv on the unpaired tensor: same int8 products accumulated in int32,
+    same f32 dequant scale values (tile(sw, 2) maps paired slots to base
+    channels)."""
+    from object_detection_torch2_tpu.models.ssd import conv12_staggered_int8
+
+    rng = np.random.default_rng(4)
+    n, h, w, cin, cout = 2, 8, 12, 16, 24
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)) * 0.5, jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    sx = jnp.float32(float(np.abs(np.asarray(x)).max()) / 127.0)
+
+    sw = quant.weight_scales(wgt)
+    y32 = quant.int8_conv(quant.quantize_act(x, sx), quant.quantize_weight(wgt, sw))
+    ref = np.asarray((y32.astype(jnp.float32) * (sx * sw)).astype(jnp.float32) + b)
+
+    for pad_pairs in (1, 2, 4):
+        got = np.asarray(conv12_staggered_int8(
+            x.reshape(n, h, w // 2, 2 * cin), wgt, b, sx, jnp.float32,
+            pad_pairs=pad_pairs))
+        unpaired = np.stack([got[..., :cout], got[..., cout:]], axis=3).reshape(n, h, w, cout)
+        np.testing.assert_array_equal(unpaired, ref)
+
+
+@pytest.mark.quick
+def test_int8_trunk_paired_vs_plain_layout():
+    """trunk_int8 through the paired block 1 vs the plain layout: the int8
+    conv_1_2 math is bitwise-equal (test above); the block output differs only
+    by BN-reduction reassociation."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (2, IMSIZE, IMSIZE, 3)), jnp.float32)
+    plain = SSD(num_classes=21, paired_block1=False)
+    v = plain.init(jax.random.PRNGKey(0), x, train=False, up_to="5_3")
+    v = {"params": dict(v["params"]), "batch_stats": dict(v["batch_stats"])}
+    qd = quant.calibrate_trunk(plain, v, [x])
+    qd_paired = quant.calibrate_trunk(SSD(num_classes=21), v, [x])
+    for k in qd:  # same values modulo block-1 reassociation cascading deeper
+        assert np.isclose(qd[k], qd_paired[k], rtol=1e-4), k
+    outs = []
+    for paired in (False, True):
+        m = SSD(num_classes=21, trunk_int8=True, paired_block1=paired)
+        out = m.apply({**v, "quant": {k: jnp.float32(s) for k, s in qd.items()}},
+                      x, train=False, up_to="1_2", mutable=["batch_stats"])[0]
+        outs.append(np.asarray(out, np.float32))
+    a, b = outs
+    assert a.shape == b.shape
+    # bn_1_1 reduction reassociation can flip a knife-edge int8 rounding in a
+    # few elements (one quantization step each); everything else is bitwise
+    np.testing.assert_allclose(a, b, atol=0.05)
+    assert float(np.mean(np.abs(a - b))) < 1e-3
+
+
 @pytest.fixture(scope="module")
 def small_ssd():
     model = SSD(num_classes=21)
@@ -114,9 +169,11 @@ def test_calibrate_then_int8_trunk_tracks_float(small_ssd):
     a, b = np.asarray(ref, np.float64).ravel(), np.asarray(out, np.float64).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     # random kaiming weights + uniform-noise images are a WORST case for PTQ
-    # (no training has shaped the distributions); trained weights track much
-    # tighter (BF16/INT8 budget A/B in README)
-    assert cos > 0.98, cos
+    # (no training has shaped the distributions; 12 quantized layers incl.
+    # conv_1_2 compound); trained weights track much tighter — the load-
+    # bearing accuracy numbers are INT8_BUDGET.json's (trained weights:
+    # feature cosine ~1, same-weights eval mAP A/B)
+    assert cos > 0.97, cos
     assert 0.5 < float(np.std(b) / np.std(a)) < 2.0
 
 

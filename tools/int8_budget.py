@@ -175,6 +175,30 @@ def main(argv=None):
     # same-weights eval A/B: PTQ at serving time, zero trajectory noise
     map_f_int8serve, strict_f_int8serve = eval_arm(arm_f, ["--trunk_int8"])
 
+    # checkpoint the load-bearing measurements (1+2) before the second long
+    # training arm: a cut-short run still leaves the zero-trajectory-noise
+    # numbers on disk
+    out = REPO / "INT8_BUDGET.json"
+    partial = {
+        "setup": f"detection-pretrained trunk (disjoint split, {args.pretrain_epochs} ep) "
+                 f"-> frozen-trunk heads-only training, {args.det_epochs} ep, "
+                 f"{args.n_train} train / {args.n_test} held-out, dtype {args.dtype}",
+        "trunk_feature_drift_int8_vs_float": {
+            "cosine": round(cos, 6), "rel_l2": round(rel, 6),
+            "note": "block-5 output on held-out images, same trained weights",
+        },
+        "same_weights_eval_ab": {
+            "float_trunk": {"parity_mAP": map_f, "strict_mAP": strict_f},
+            "int8_trunk_serving": {"parity_mAP": map_f_int8serve, "strict_mAP": strict_f_int8serve},
+            "note": "ONE set of trained weights evaluated both ways — pure PTQ cost, "
+                    "no trajectory chaos",
+        },
+        "trained_with_int8_arm": "PENDING",
+        "calib_margin": args.calib_margin,
+    }
+    out.write_text(json.dumps(partial, indent=2) + "\n")
+    print("partial INT8_BUDGET.json written (measurements 1+2)", flush=True)
+
     # ---- arm Q: trained WITH the int8 trunk (same pretrained trunk + seed) --
     t2 = time.time()
     arm_q = work / "arm_int8"
@@ -208,7 +232,6 @@ def main(argv=None):
         "calib_margin": args.calib_margin,
         "pretrain_seconds": round(pretrain_s, 1),
     }
-    out = REPO / "INT8_BUDGET.json"
     out.write_text(json.dumps(record, indent=2) + "\n")
     print(json.dumps(record))
     return 0
