@@ -223,7 +223,7 @@ def main(argv=None):
         acc = merge_accumulators_across_processes(acc)
 
     aps, mean_ap = acc.result(strict=False)
-    strict_mean = None
+    strict_mean = strict_aps = None
     if args.strict_ap:
         strict_aps, strict_mean = acc.result(strict=True)
     if proc == 0:
@@ -233,7 +233,7 @@ def main(argv=None):
         path = write_report(out_dir, vars(args), aps, mean_ap, labelmap)
         print("report:", path)
         print("Finished Evaluate")
-    return aps, mean_ap, strict_mean
+    return aps, mean_ap, strict_mean, strict_aps
 
 
 if __name__ == "__main__":

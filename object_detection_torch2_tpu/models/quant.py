@@ -140,12 +140,65 @@ def load_quant(path) -> dict:
     return quant
 
 
+def missing_layers(quant: dict | None) -> list:
+    """Quantized layers without a positive calibrated amax — non-empty for a
+    quant.json written before QUANT_LAYERS grew (e.g. pre-'1_2' files)."""
+    if not quant:
+        return list(QUANT_LAYERS)
+    return [l for l in QUANT_LAYERS if not (float(quant.get(f"amax_{l}", 0.0)) > 0.0)]
+
+
 def check_calibrated(quant: dict | None) -> dict:
     """Raise unless every quantized layer has a positive calibrated amax."""
     if not quant:
         raise ValueError("trunk_int8 requires calibrated activation scales "
                          "(models/quant.py calibrate_trunk; cli: --quant_calibrate)")
-    missing = [l for l in QUANT_LAYERS if not (float(quant.get(f"amax_{l}", 0.0)) > 0.0)]
+    missing = missing_layers(quant)
     if missing:
-        raise ValueError(f"trunk_int8: uncalibrated/zero amax for layers {missing}")
+        raise ValueError(
+            f"trunk_int8: uncalibrated/zero amax for layers {missing}. If this "
+            f"quant.json predates an extension of QUANT_LAYERS it is stale — "
+            f"delete it and rerun train.py --trunk_int8 (which recalibrates "
+            f"and rewrites it), or recalibrate via models/quant.calibrate_trunk"
+        )
     return quant
+
+
+def saturation_rates(model, variables: dict, quant: dict, batches,
+                     use_batch_stats: bool = True, up_to: str | None = "5_3") -> dict:
+    """Measured clip rates: for each quantized layer, the fraction of input
+    activation entries whose |x| exceeds the calibrated amax — exactly the
+    entries the int8 path saturates at ±127. A drifting input distribution
+    (e.g. augmentation harsher than the calibration batches) shows up here as
+    a rising rate; near-zero rates mean the static scales hold.
+
+    Runs the float calibrate path (which sows each quantized input into
+    'intermediates') and reduces ON DEVICE per batch. `quant` is the
+    post-margin scales as used in production (quant.json contents)."""
+    calib = model.clone(quant_calibrate=True, trunk_int8=False)
+    amaxes = {l: jnp.float32(quant[f"amax_{l}"]) for l in QUANT_LAYERS}
+
+    @jax.jit
+    def step(images):
+        vars_in = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        _, upd = calib.apply(vars_in, images, train=False,
+                             use_batch_stats=use_batch_stats, up_to=up_to,
+                             mutable=["quant", "batch_stats", "intermediates"])
+        over, count = {}, {}
+        for l in QUANT_LAYERS:
+            (x,) = upd["intermediates"][f"qin_{l}"]
+            over[l] = jnp.sum(jnp.abs(x.astype(jnp.float32)) > amaxes[l])
+            count[l] = x.size
+        return over, count
+
+    total_over = {l: 0 for l in QUANT_LAYERS}
+    total_n = {l: 0 for l in QUANT_LAYERS}
+    for images in batches:
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        over, count = step(images)
+        for l in QUANT_LAYERS:
+            total_over[l] += int(over[l])
+            total_n[l] += int(count[l])
+    return {l: total_over[l] / max(total_n[l], 1) for l in QUANT_LAYERS}

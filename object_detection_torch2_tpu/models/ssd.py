@@ -186,8 +186,14 @@ def conv12_staggered_int8(xp: jax.Array, w: jax.Array, b: jax.Array, sx: jax.Arr
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    y = (y32.astype(jnp.float32) * (sx * jnp.tile(sw, 2))).astype(dtype)
-    y = jnp.concatenate([y[:, :, :wpl, :cout], y[:, :, 1:wpl + 1, cout:]], axis=-1)
+    # slice each half's wpl-wide window BEFORE the dequant epilogue so the
+    # int32->f32 multiply+cast never touches the pad_pairs throwaway columns
+    # (each paired slot's scale is its base channel's scale, so both halves
+    # dequant with the same sw vector)
+    scale = sx * sw
+    ya = (y32[:, :, :wpl, :cout].astype(jnp.float32) * scale).astype(dtype)
+    yb = (y32[:, :, 1:wpl + 1, cout:].astype(jnp.float32) * scale).astype(dtype)
+    y = jnp.concatenate([ya, yb], axis=-1)
     return y + jnp.tile(b, 2).astype(dtype)
 
 
@@ -294,6 +300,10 @@ class SSD(nn.Module):
         if not self.trunk_int8:  # calibration (or init) — float conv, record amax
             if self.quant_calibrate and not self.is_initializing():
                 amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                # quantized-input capture for saturation-rate diagnostics
+                # (quant.saturation_rates); dropped unless 'intermediates' is
+                # explicitly made mutable by the caller
+                self.sow("intermediates", f"qin_{name_suffix}", x)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=self.precision,
@@ -349,6 +359,7 @@ class SSD(nn.Module):
                 if not self.is_initializing():  # quant_calibrate: record, run float
                     amax.value = jnp.maximum(amax.value,
                                              jnp.max(jnp.abs(xp.astype(jnp.float32))))
+                    self.sow("intermediates", "qin_1_2", xp)
             if sub == 2 and use_kernel:
                 xp = conv12_paired(xp.astype(self.dtype), kernel, bias).astype(self.dtype)
             elif sub == 2 and self.conv12_stagger:

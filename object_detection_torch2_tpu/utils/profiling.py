@@ -39,15 +39,22 @@ def enable_debug_nans(enabled: bool = True):
 
 
 class ThroughputMeter:
-    """Images/sec (per chip) without forcing device syncs inside the step loop."""
+    """Images/sec (per chip) without forcing device syncs inside the step loop.
 
-    def __init__(self, batch_size: int, num_devices: int = 1):
+    `clock` is injectable (tests use a fake) so the two rate accessors can be
+    validated deterministically; each accessor reads the clock once, so callers
+    that need mutually consistent total/per-chip rates should take one
+    `rates()` snapshot rather than two separate live reads.
+    """
+
+    def __init__(self, batch_size: int, num_devices: int = 1, clock=time.perf_counter):
         self.batch_size = batch_size
         self.num_devices = num_devices
+        self._clock = clock
         self.reset()
 
     def reset(self):
-        self._start = time.perf_counter()
+        self._start = self._clock()
         self._steps = 0
 
     def step(self, n: int = 1):
@@ -58,8 +65,14 @@ class ThroughputMeter:
         return self._steps
 
     def images_per_sec(self) -> float:
-        dt = time.perf_counter() - self._start
+        dt = self._clock() - self._start
         return self._steps * self.batch_size / dt if dt > 0 else 0.0
 
     def images_per_sec_per_chip(self) -> float:
         return self.images_per_sec() / max(self.num_devices, 1)
+
+    def rates(self) -> tuple[float, float]:
+        """(total, per-chip) images/sec from ONE clock read — exactly
+        proportional by construction, unlike two live accessor calls."""
+        total = self.images_per_sec()
+        return total, total / max(self.num_devices, 1)

@@ -6,15 +6,27 @@ from object_detection_torch2_tpu.utils.profiling import ThroughputMeter, maybe_t
 
 
 def test_throughput_meter():
-    m = ThroughputMeter(batch_size=32, num_devices=8)
+    # fake clock: deterministic under any host load (round-4 verdict weak #2 —
+    # two live perf_counter reads diverged 25% on a contended host)
+    t = [0.0]
+    m = ThroughputMeter(batch_size=32, num_devices=8, clock=lambda: t[0])
     m.step()
     m.step(2)
     assert m.steps == 3
-    assert m.images_per_sec() > 0
-    # two separate wall-clock reads: only approximately proportional
-    np.testing.assert_allclose(m.images_per_sec_per_chip() * 8, m.images_per_sec(), rtol=0.25)
+    t[0] = 2.0
+    np.testing.assert_allclose(m.images_per_sec(), 3 * 32 / 2.0)
+    np.testing.assert_allclose(m.images_per_sec_per_chip() * 8, m.images_per_sec())
+    total, per_chip = m.rates()
+    np.testing.assert_allclose(per_chip * 8, total)
     m.reset()
     assert m.steps == 0
+
+
+def test_throughput_meter_live_clock():
+    # the default wall clock still yields a positive, finite rate
+    m = ThroughputMeter(batch_size=4)
+    m.step(2)
+    assert m.images_per_sec() > 0
 
 
 def test_maybe_trace_disabled_is_noop():

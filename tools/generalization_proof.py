@@ -114,7 +114,7 @@ def main(argv=None):
     train_s = time.time() - t0
 
     t1 = time.time()
-    aps, mean_ap, strict_map = eval_cli.main(eval_data_flags + [
+    aps, mean_ap, strict_map, _ = eval_cli.main(eval_data_flags + [
         "--result_dir", result_dir,
         "--batch_size", str(args.eval_batch_size),
         "--num_workers", str(args.num_workers),

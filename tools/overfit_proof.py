@@ -71,7 +71,7 @@ def main(argv=None):
     train_s = time.time() - t0
 
     t1 = time.time()
-    aps, mean_ap, strict_map = eval_cli.main([
+    aps, mean_ap, strict_map, _ = eval_cli.main([
         "--data_dirs", data,
         "--result_dir", result_dir,
         "--batch_size", "4",

@@ -226,7 +226,7 @@ def main(argv=None):
     det_s = time.time() - t1
 
     # ---- D. held-out evaluation ---------------------------------------------
-    aps, mean_ap, strict_map = eval_cli.main(common_flags + [
+    aps, mean_ap, strict_map, _ = eval_cli.main(common_flags + [
         "--batch_size", str(args.eval_batch_size),
         "--strict_ap",
     ])

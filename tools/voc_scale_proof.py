@@ -171,7 +171,7 @@ def stage_eval(a):
 
     res = Path(a.result_dir)
     t0 = time.time()
-    aps, mean_ap, strict_map = eval_cli.main([
+    aps, mean_ap, strict_map, _ = eval_cli.main([
         "--records_dir", str(res / "rec_test"),
         "--result_dir", str(res),
         "--batch_size", "32",
