@@ -49,6 +49,17 @@ import jax.numpy as jnp
 # (models/ssd.py conv12_staggered_int8), bit-identical to the plain int8 conv.
 QUANT_LAYERS = ("1_2", "2_1", "2_2", "3_1", "3_2", "3_3", "4_1", "4_2", "4_3", "5_1", "5_2", "5_3")
 
+# Serving-side FULL-model quantization (SSD.full_int8): at inference
+# *everything* is frozen, not just the trunk (reference: src/inference.py:55-69
+# serves under no_grad with no parameter updates), so the extra layers and the
+# six detector heads are int8-eligible by the same constants-only argument.
+# Heads have no BN/ReLU after them — their int8 error lands directly on the
+# box/class logits, which is why full_int8 is gated on a measured mAP budget
+# (tools/bench_infer.py --full_int8 A/B) rather than assumed safe.
+EXTRA_QUANT_LAYERS = ("6_1", "7_1", "8_1", "8_2", "9_1", "9_2", "10_1", "10_2", "11_1", "11_2")
+HEAD_QUANT_LAYERS = ("det_4_3", "det_7_1", "det_8_2", "det_9_2", "det_10_2", "det_11_2")
+FULL_QUANT_LAYERS = QUANT_LAYERS + EXTRA_QUANT_LAYERS + HEAD_QUANT_LAYERS
+
 
 def weight_scales(w: jax.Array) -> jax.Array:
     """(kh,kw,cin,cout) -> per-output-channel symmetric scales (cout,) f32."""
@@ -107,7 +118,7 @@ def calibrate_trunk(model, variables: dict, batches, use_batch_stats: bool = Tru
     (headroom for distribution drift; 1.0 = pure abs-max). Every quantized
     layer sits in the trunk, so the forward runs only up to `up_to`
     (default '5_3' — extras/heads never execute during calibration)."""
-    calib = model.clone(quant_calibrate=True, trunk_int8=False)
+    calib = model.clone(quant_calibrate=True, trunk_int8=False, full_int8=False)
 
     @jax.jit
     def step(quant, images):
@@ -130,6 +141,17 @@ def calibrate_trunk(model, variables: dict, batches, use_batch_stats: bool = Tru
     return {k: float(v) * margin for k, v in quant.items()}
 
 
+def calibrate_full(model, variables: dict, batches, use_batch_stats: bool = True,
+                   margin: float = 1.0) -> dict:
+    """Full-model activation calibration (trunk + extras + heads) for the
+    serving-side `full_int8` path: same mechanics as `calibrate_trunk`, with
+    the forward run through the detector heads (up_to=None) so every
+    FULL_QUANT_LAYERS input records its abs-max."""
+    quant = calibrate_trunk(model, variables, batches,
+                            use_batch_stats=use_batch_stats, margin=margin, up_to=None)
+    return check_calibrated(quant, layers=FULL_QUANT_LAYERS)
+
+
 def save_quant(path, quant: dict) -> None:
     Path(path).write_text(json.dumps(quant, indent=1, sort_keys=True))
 
@@ -140,20 +162,20 @@ def load_quant(path) -> dict:
     return quant
 
 
-def missing_layers(quant: dict | None) -> list:
+def missing_layers(quant: dict | None, layers=QUANT_LAYERS) -> list:
     """Quantized layers without a positive calibrated amax — non-empty for a
-    quant.json written before QUANT_LAYERS grew (e.g. pre-'1_2' files)."""
+    quant.json written before the layer set grew (e.g. pre-'1_2' files)."""
     if not quant:
-        return list(QUANT_LAYERS)
-    return [l for l in QUANT_LAYERS if not (float(quant.get(f"amax_{l}", 0.0)) > 0.0)]
+        return list(layers)
+    return [l for l in layers if not (float(quant.get(f"amax_{l}", 0.0)) > 0.0)]
 
 
-def check_calibrated(quant: dict | None) -> dict:
+def check_calibrated(quant: dict | None, layers=QUANT_LAYERS) -> dict:
     """Raise unless every quantized layer has a positive calibrated amax."""
     if not quant:
         raise ValueError("trunk_int8 requires calibrated activation scales "
                          "(models/quant.py calibrate_trunk; cli: --quant_calibrate)")
-    missing = missing_layers(quant)
+    missing = missing_layers(quant, layers)
     if missing:
         raise ValueError(
             f"trunk_int8: uncalibrated/zero amax for layers {missing}. If this "
@@ -165,7 +187,8 @@ def check_calibrated(quant: dict | None) -> dict:
 
 
 def saturation_rates(model, variables: dict, quant: dict, batches,
-                     use_batch_stats: bool = True, up_to: str | None = "5_3") -> dict:
+                     use_batch_stats: bool = True, up_to: str | None = "5_3",
+                     layers=QUANT_LAYERS) -> dict:
     """Measured clip rates: for each quantized layer, the fraction of input
     activation entries whose |x| exceeds the calibrated amax — exactly the
     entries the int8 path saturates at ±127. A drifting input distribution
@@ -175,8 +198,8 @@ def saturation_rates(model, variables: dict, quant: dict, batches,
     Runs the float calibrate path (which sows each quantized input into
     'intermediates') and reduces ON DEVICE per batch. `quant` is the
     post-margin scales as used in production (quant.json contents)."""
-    calib = model.clone(quant_calibrate=True, trunk_int8=False)
-    amaxes = {l: jnp.float32(quant[f"amax_{l}"]) for l in QUANT_LAYERS}
+    calib = model.clone(quant_calibrate=True, trunk_int8=False, full_int8=False)
+    amaxes = {l: jnp.float32(quant[f"amax_{l}"]) for l in layers}
 
     @jax.jit
     def step(images):
@@ -185,20 +208,20 @@ def saturation_rates(model, variables: dict, quant: dict, batches,
                              use_batch_stats=use_batch_stats, up_to=up_to,
                              mutable=["quant", "batch_stats", "intermediates"])
         over, count = {}, {}
-        for l in QUANT_LAYERS:
+        for l in layers:
             (x,) = upd["intermediates"][f"qin_{l}"]
             over[l] = jnp.sum(jnp.abs(x.astype(jnp.float32)) > amaxes[l])
             count[l] = x.size
         return over, count
 
-    total_over = {l: 0 for l in QUANT_LAYERS}
-    total_n = {l: 0 for l in QUANT_LAYERS}
+    total_over = {l: 0 for l in layers}
+    total_n = {l: 0 for l in layers}
     for images in batches:
         images = jnp.asarray(images)
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         over, count = step(images)
-        for l in QUANT_LAYERS:
+        for l in layers:
             total_over[l] += int(over[l])
             total_n[l] += int(count[l])
-    return {l: total_over[l] / max(total_n[l], 1) for l in QUANT_LAYERS}
+    return {l: total_over[l] / max(total_n[l], 1) for l in layers}

@@ -254,9 +254,18 @@ class SSD(nn.Module):
     # Legitimate only because the trunk is frozen (reference parity:
     # src/model/ssd.py:160-179) — Trainer.init_state enforces that.
     trunk_int8: bool = False
+    # SERVING-ONLY: run the extras and detector heads on the int8 path too
+    # (implies the trunk int8 path). At inference everything is frozen, not
+    # just the trunk — the reference serves under no_grad with no updates
+    # (src/inference.py:55-69) — so extras/heads are int8-eligible by the same
+    # constants-only argument (models/quant.py FULL_QUANT_LAYERS). Requires a
+    # FULL calibration (quant.calibrate_full); never legal in Trainer (extras/
+    # heads are the TRAINABLE params — Trainer rejects it).
+    full_int8: bool = False
     # Calibration mode: run the float path but record each quantized-input
     # abs-max into the mutable 'quant' collection (models/quant.py
-    # calibrate_trunk drives this).
+    # calibrate_trunk drives this; with up_to=None the extras/head inputs are
+    # recorded too — calibrate_full).
     quant_calibrate: bool = False
 
     def _conv_bn_relu(self, x, name_suffix, features, kernel, stride, pad, train, use_batch_stats,
@@ -281,23 +290,25 @@ class SSD(nn.Module):
         )(x, mask=batch_mask)
         return nn.relu(x)
 
-    def _conv_bn_relu_q(self, x, name_suffix, features, use_batch_stats, batch_mask=None):
-        """Trunk conv on the int8 MXU path (see `trunk_int8` above): quantize
-        the input with its calibrated static scale (a pure elementwise tail
-        XLA fuses into the producer's BN+ReLU kernel, so the activation lands
-        in HBM as int8), s8xs8->s32 conv, per-out-channel dequant + bias in
-        the epilogue; BN/ReLU unchanged in float. In `quant_calibrate` mode
-        runs the float conv and records the input abs-max instead. Params are
-        held by _ConvParams under nn.Conv's exact layout — checkpoints and
-        converters see no difference."""
+    def _conv_bn_relu_q(self, x, name_suffix, features, use_batch_stats, batch_mask=None,
+                        kernel_size: int = 3, stride: int = 1, pad: int = 1):
+        """Conv on the int8 MXU path (see `trunk_int8`/`full_int8` above):
+        quantize the input with its calibrated static scale (a pure
+        elementwise tail XLA fuses into the producer's BN+ReLU kernel, so the
+        activation lands in HBM as int8), s8xs8->s32 conv, per-out-channel
+        dequant + bias in the epilogue; BN/ReLU unchanged in float. In
+        `quant_calibrate` mode runs the float conv and records the input
+        abs-max instead. Params are held by _ConvParams under nn.Conv's exact
+        layout — checkpoints and converters see no difference. Serves the
+        trunk (3x3/s1/p1) and, under `full_int8`, the extra layers' shapes."""
         from object_detection_torch2_tpu.models import quant
 
         cin = x.shape[-1]
-        kernel, bias = _ConvParams((3, 3, cin, features), self.param_dtype,
+        kernel, bias = _ConvParams((kernel_size, kernel_size, cin, features), self.param_dtype,
                                    name=f"conv_{name_suffix}")()
         amax = self.variable("quant", f"amax_{name_suffix}",
                              lambda: jnp.zeros((), jnp.float32))
-        if not self.trunk_int8:  # calibration (or init) — float conv, record amax
+        if not (self.trunk_int8 or self.full_int8):  # calibration/init — float conv, record amax
             if self.quant_calibrate and not self.is_initializing():
                 amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
                 # quantized-input capture for saturation-rate diagnostics
@@ -305,13 +316,15 @@ class SSD(nn.Module):
                 # explicitly made mutable by the caller
                 self.sow("intermediates", f"qin_{name_suffix}", x)
             y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                x.astype(self.dtype), kernel.astype(self.dtype), (stride, stride),
+                ((pad, pad), (pad, pad)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=self.precision,
             ) + bias.astype(self.dtype)
         else:
             sx = jnp.maximum(amax.value, 1e-12) / 127.0
             sw = quant.weight_scales(kernel)
-            y32 = quant.int8_conv(quant.quantize_act(x, sx), quant.quantize_weight(kernel, sw))
+            y32 = quant.int8_conv(quant.quantize_act(x, sx), quant.quantize_weight(kernel, sw),
+                                  stride=stride, pad=pad)
             y = (y32.astype(jnp.float32) * (sx * sw)).astype(self.dtype) + bias.astype(self.dtype)
         y = BatchNormTPU(
             use_running_average=not use_batch_stats, momentum=0.9, epsilon=1e-5,
@@ -339,14 +352,14 @@ class SSD(nn.Module):
             use_kernel = False
         for sub, cin, cout in ((1, 3, 64), (2, 64, 64)):
             kernel, bias = _ConvParams((3, 3, cin, cout), self.param_dtype, name=f"conv_1_{sub}")()
-            if sub == 2 and (self.trunk_int8 or self.quant_calibrate):
+            if sub == 2 and (self.trunk_int8 or self.full_int8 or self.quant_calibrate):
                 # conv_1_2 is frozen too: int8-eligible (quant.QUANT_LAYERS).
                 # The int8 path always uses the staggered form (exact math,
                 # bit-identical to the plain int8 conv) regardless of the
                 # float-path kernel/stagger perf knobs.
                 amax = self.variable("quant", "amax_1_2",
                                      lambda: jnp.zeros((), jnp.float32))
-                if self.trunk_int8:
+                if self.trunk_int8 or self.full_int8:
                     sx = jnp.maximum(amax.value, 1e-12) / 127.0
                     xp = conv12_staggered_int8(xp, kernel, bias, sx, self.dtype,
                                                pad_pairs=self.conv12_pad_pairs)
@@ -386,6 +399,33 @@ class SSD(nn.Module):
         cc = xp.shape[-1]
         return jnp.maximum(xp[..., : cc // 2], xp[..., cc // 2:])
 
+    def _head_conv_q(self, x, suffix, num_anchors):
+        """Detector head on the int8 path (full_int8 serving) or recording its
+        input abs-max (quant_calibrate). No BN/ReLU after a head — the dequant
+        epilogue lands directly on the (boxes, logits) output. Params via
+        _ConvParams under nn.Conv's exact layout, so checkpoints trained on
+        the float path load unchanged."""
+        from object_detection_torch2_tpu.models import quant
+
+        cin = x.shape[-1]
+        cout = num_anchors * (self.num_classes + 4)
+        kernel, bias = _ConvParams((3, 3, cin, cout), self.param_dtype,
+                                   name=f"det_{suffix}")()
+        amax = self.variable("quant", f"amax_det_{suffix}",
+                             lambda: jnp.zeros((), jnp.float32))
+        if not self.full_int8:  # quant_calibrate (or init): record, run float
+            if self.quant_calibrate and not self.is_initializing():
+                amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                self.sow("intermediates", f"qin_det_{suffix}", x)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=self.precision,
+            ) + bias.astype(self.dtype)
+        sx = jnp.maximum(amax.value, 1e-12) / 127.0
+        sw = quant.weight_scales(kernel)
+        y32 = quant.int8_conv(quant.quantize_act(x, sx), quant.quantize_weight(kernel, sw))
+        return (y32.astype(jnp.float32) * (sx * sw)).astype(self.dtype) + bias.astype(self.dtype)
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True, use_batch_stats: bool | None = None,
                  batch_mask: jax.Array | None = None, up_to: str | None = None):
@@ -415,7 +455,7 @@ class SSD(nn.Module):
             if up_to in ("1_1", "1_2"):
                 return x
             blocks = VGG_BLOCKS[1:]
-        quantize = self.trunk_int8 or self.quant_calibrate
+        quantize = self.trunk_int8 or self.full_int8 or self.quant_calibrate
         for block, channels, pool in blocks:
             for sub, ch in enumerate(channels, start=1):
                 suffix = f"{block}_{sub}"
@@ -432,9 +472,14 @@ class SSD(nn.Module):
             if up_to == f"{block}_{len(channels)}":
                 return x
 
-        # extra layers (reference: ssd.py:46-68)
+        # extra layers (reference: ssd.py:46-68); under full_int8 (or a full
+        # calibration pass) they run the quantized-conv variant
         for suffix, kernel, ch, stride, pad in EXTRA_LAYERS:
-            x = self._conv_bn_relu(x, suffix, ch, kernel, stride, pad, train, use_batch_stats, batch_mask)
+            if self.full_int8 or self.quant_calibrate:
+                x = self._conv_bn_relu_q(x, suffix, ch, use_batch_stats, batch_mask,
+                                         kernel_size=kernel, stride=stride, pad=pad)
+            else:
+                x = self._conv_bn_relu(x, suffix, ch, kernel, stride, pad, train, use_batch_stats, batch_mask)
             if suffix in taps:
                 feature_maps[suffix] = x
             if up_to == suffix:
@@ -443,16 +488,19 @@ class SSD(nn.Module):
         # detector heads + H-major flatten/concat (reference: ssd.py:70-77, 100-105)
         outputs = []
         for suffix, num_anchors in DETECTOR_TAPS:
-            y = nn.Conv(
-                features=num_anchors * (self.num_classes + 4),
-                kernel_size=(3, 3),
-                padding=((1, 1), (1, 1)),
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                precision=self.precision,
-                kernel_init=kaiming_out,
-                name=f"det_{suffix}",
-            )(feature_maps[suffix])
+            if self.full_int8 or self.quant_calibrate:
+                y = self._head_conv_q(feature_maps[suffix], suffix, num_anchors)
+            else:
+                y = nn.Conv(
+                    features=num_anchors * (self.num_classes + 4),
+                    kernel_size=(3, 3),
+                    padding=((1, 1), (1, 1)),
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    precision=self.precision,
+                    kernel_init=kaiming_out,
+                    name=f"det_{suffix}",
+                )(feature_maps[suffix])
             # NHWC -> (N, H*W*A, C+4): rows ordered h-major, then w, then anchor —
             # identical to torch's permute(0, 2, 3, 1).reshape (reference: ssd.py:103)
             outputs.append(y.reshape(n, -1, self.num_classes + 4))

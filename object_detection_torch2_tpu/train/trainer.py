@@ -67,6 +67,11 @@ class Trainer:
         # Int8 trunk (models/quant.py): calibrated activation amaxes ride as a
         # closure-captured 'quant' collection — compile-time constants, so XLA
         # folds the dequant scales. Tiny (one scalar per quantized layer).
+        if getattr(model, "full_int8", False):
+            # full_int8 quantizes the extras/heads — the TRAINABLE params;
+            # round/clip would silently zero their gradients (serving-only
+            # path: models/quant.py FULL_QUANT_LAYERS rationale)
+            raise ValueError("full_int8 is a serving-only path; train with trunk_int8")
         self.quant = None
         if getattr(model, "trunk_int8", False):
             from object_detection_torch2_tpu.models.quant import check_calibrated

@@ -273,3 +273,42 @@ def test_saturation_rates(small_ssd):
     shrunk = {k: v / 10.0 for k, v in qd.items()}
     rates10 = quant.saturation_rates(model, variables, shrunk, [imgs])
     assert max(rates10.values()) > 0.05, rates10
+
+
+def test_full_int8_serving_tracks_float():
+    """Full tier: calibrate_full then the full-int8 forward (trunk + extras +
+    heads on the int8 path) at the minimum pyramid size — output shape/finite,
+    tracks the float forward, float-path checkpoints load unchanged, and the
+    Trainer refuses the serving-only config."""
+    from object_detection_torch2_tpu.train.trainer import Trainer
+
+    imsize = 264
+    model = SSD(num_classes=21)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)), train=False)
+    variables = {"params": dict(variables["params"]), "batch_stats": dict(variables["batch_stats"])}
+    imgs = jnp.asarray(np.random.default_rng(5).random((2, imsize, imsize, 3)), jnp.float32)
+
+    qd = quant.calibrate_full(model, variables, [imgs])
+    assert set(qd) == {f"amax_{l}" for l in quant.FULL_QUANT_LAYERS}
+    assert all(v > 0 for v in qd.values())
+
+    ref = model.apply(variables, imgs, train=False, mutable=["batch_stats"])[0]
+    q_model = SSD(num_classes=21, full_int8=True)
+    out = q_model.apply(
+        {**variables, "quant": {k: jnp.float32(v) for k, v in qd.items()}},
+        imgs, train=False, mutable=["batch_stats"])[0]
+    assert out.shape == ref.shape and bool(jnp.all(jnp.isfinite(out)))
+    a, b = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+    # random-init worst case (see the trunk test's note); heads add one more
+    # quantized hop on the raw logits
+    cos = float((a.ravel() @ b.ravel())
+                / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.95, cos
+
+    with pytest.raises(ValueError, match="serving-only"):
+        Trainer(q_model, default_boxes=jnp.zeros((8, 4), jnp.float32), quant=qd)
+
+    # stale/missing coverage for the full layer set
+    assert quant.missing_layers({f"amax_{l}": 1.0 for l in quant.QUANT_LAYERS},
+                                quant.FULL_QUANT_LAYERS) == list(
+        quant.EXTRA_QUANT_LAYERS + quant.HEAD_QUANT_LAYERS)
