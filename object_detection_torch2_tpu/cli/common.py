@@ -58,6 +58,18 @@ def add_serving_args(parser):
                         help="serve the frozen VGG trunk's blocks 2-5 on the MXU int8 path "
                              "(models/quant.py); activation scales are read from "
                              "<result_dir>/detection/quant.json (written by train.py --trunk_int8)")
+    parser.add_argument("--full_int8", action="store_true",
+                        help="serve the WHOLE model on the int8 path (trunk + extras + "
+                             "detector heads — at inference everything is frozen, "
+                             "models/quant.py FULL_QUANT_LAYERS). Scales come from "
+                             "<result_dir>/detection/quant_full.json, auto-calibrated over "
+                             "the first --calib_batches batches of this run's dataset when "
+                             "absent/stale. Check the measured mAP A/B (INT8_BUDGET.json "
+                             "full_int8 section) before enabling in production")
+    parser.add_argument("--calib_batches", type=int, default=8,
+                        help="batches for --full_int8 auto-calibration")
+    parser.add_argument("--calib_margin", type=float, default=1.25,
+                        help="headroom factor on --full_int8 calibrated abs-maxes")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host data-parallel serving: jax.distributed.initialize() "
                              "(auto-detected on TPU pods; gloo on CPU clusters), mesh over ALL "
@@ -151,6 +163,55 @@ def apply_trunk_int8(args, model, variables):
     variables = dict(variables)
     variables["quant"] = {k: jnp.asarray(v, jnp.float32) for k, v in load_quant(qp).items()}
     return model.clone(trunk_int8=True), variables
+
+
+def apply_full_int8(args, model, variables, batches):
+    """Serving-side --full_int8: clone the model onto the full int8 path
+    (trunk + extras + heads) and inject calibrated scales. Scales are read
+    from <result_dir>/detection/quant_full.json when present and complete,
+    else calibrated over `batches` (an iterable of uint8 image batches from
+    the run's own dataset — the serving distribution, standard PTQ practice)
+    and saved there."""
+    import json as _json
+
+    from object_detection_torch2_tpu.models.quant import (
+        FULL_QUANT_LAYERS,
+        calibrate_full,
+        missing_layers,
+        save_quant,
+    )
+
+    qp = Path(args.result_dir) / "detection" / "quant_full.json"
+    scales = None
+    if qp.exists():
+        scales = _json.loads(qp.read_text())
+        stale = missing_layers(scales, FULL_QUANT_LAYERS)
+        if stale:
+            print(f"quant_full.json is stale (no amax for {stale}) — recalibrating")
+            scales = None
+        else:
+            print("full-int8 scales loaded.")
+    if scales is None:
+        scales = calibrate_full(model, variables, batches, margin=args.calib_margin)
+        qp.parent.mkdir(parents=True, exist_ok=True)
+        save_quant(qp, scales)
+        print(f"full-int8 scales calibrated ({args.calib_batches} batches, "
+              f"margin {args.calib_margin}) -> {qp}")
+    variables = dict(variables)
+    variables["quant"] = {k: jnp.asarray(v, jnp.float32) for k, v in scales.items()}
+    return model.clone(full_int8=True), variables
+
+
+def calib_image_batches(loader, n_batches: int):
+    """First n_batches image batches of a DataLoader (fresh iterator — the
+    caller's main loop re-iterates from the start), for int8 calibration."""
+    it = iter(loader)
+    for _ in range(n_batches):
+        try:
+            images, _ = next(it)
+        except StopIteration:
+            return
+        yield np.asarray(images)
 
 
 def batched(iterable_len: int, batch_size: int):

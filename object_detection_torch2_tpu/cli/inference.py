@@ -77,7 +77,10 @@ def main(argv=None):
                         num_workers=args.num_workers)
 
     model, variables, labelmap = common.build_ssd(args, weights_path)
-    if args.trunk_int8:
+    if args.full_int8:
+        model, variables = common.apply_full_int8(
+            args, model, variables, common.calib_image_batches(loader, args.calib_batches))
+    elif args.trunk_int8:
         model, variables = common.apply_trunk_int8(args, model, variables)
     variables = jax.tree.map(jax.numpy.asarray, variables)
 

@@ -37,6 +37,11 @@ def main():
     parser.add_argument("--batches_per_dispatch", type=int, default=1,
                         help="K batches scanned inside one compiled program "
                              "(infer.py stacked input; Predictor batches_per_dispatch)")
+    parser.add_argument("--trunk_int8", action="store_true",
+                        help="serve the trunk on the MXU int8 path (models/quant.py)")
+    parser.add_argument("--full_int8", action="store_true",
+                        help="serve trunk + extras + heads on the int8 path "
+                             "(models/quant.py FULL_QUANT_LAYERS)")
     args = parser.parse_args()
 
     import jax
@@ -49,6 +54,21 @@ def main():
     platform = jax.devices()[0].platform
     model = SSD(num_classes=21, dtype=getattr(jnp, args.dtype))
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)), train=False)
+    if args.full_int8 or args.trunk_int8:
+        # scale VALUES don't affect throughput (only the int8 program shape
+        # does) — calibrate on random batches, like bench.py's int8 path
+        from object_detection_torch2_tpu.models import quant as quant_lib
+
+        calib = np.random.default_rng(1).random((8, 300, 300, 3)).astype(np.float32)
+        if args.full_int8:
+            qd = quant_lib.calibrate_full(model, variables, [calib])
+            model = model.clone(full_int8=True)
+        else:
+            qd = quant_lib.calibrate_trunk(model, variables, [calib])
+            model = model.clone(trunk_int8=True)
+        variables = {**variables, "quant": {k: jnp.float32(v) for k, v in qd.items()}}
+        print(f"int8: calibrated {len(qd)} activation scales "
+              f"({'full' if args.full_int8 else 'trunk'})", file=sys.stderr)
     run = build_detection_pipeline(model, use_batch_stats=True, d2h_half=args.d2h_half)
 
     rng = np.random.default_rng(0)
@@ -105,9 +125,10 @@ def main():
         }
 
     half = ", half-d2h" if args.d2h_half else ""
+    q = ", full-int8" if args.full_int8 else (", trunk-int8" if args.trunk_int8 else "")
     print(json.dumps({
         "metric": f"SSD300 inference pipeline (bs{args.batch_size}, {args.dtype}, {platform}, "
-                  f"{k} batches/dispatch{half})",
+                  f"{k} batches/dispatch{half}{q})",
         **report,
     }))
 

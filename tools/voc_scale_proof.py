@@ -170,14 +170,10 @@ def stage_eval(a):
     from object_detection_torch2_tpu.cli import evaluate as eval_cli
 
     res = Path(a.result_dir)
+    common = ["--records_dir", str(res / "rec_test"), "--result_dir", str(res),
+              "--batch_size", "32", "--batches_per_dispatch", "4", "--strict_ap"]
     t0 = time.time()
-    aps, mean_ap, strict_map, _ = eval_cli.main([
-        "--records_dir", str(res / "rec_test"),
-        "--result_dir", str(res),
-        "--batch_size", "32",
-        "--batches_per_dispatch", "4",
-        "--strict_ap",
-    ])
+    aps, mean_ap, strict_map, _ = eval_cli.main(common)
     out = {
         "eval_seconds": round(time.time() - t0, 1),
         "parity_mAP_heldout": round(float(mean_ap), 4),
@@ -186,6 +182,47 @@ def stage_eval(a):
     }
     (res / "eval.json").write_text(json.dumps(out))
     print(f"eval: parity mAP {mean_ap:.4f}, strict {strict_map}")
+
+    # int8 serving A/B at REFERENCE SCALE (4,952 held-out images): the
+    # 48-image budget set showed strict-AP swings of ±0.1 per class under
+    # ulp-level score reordering — this is the low-variance measurement of
+    # the true PTQ cost. quant.json: calibrate on the TRAIN records with the
+    # production margin (what train.py --trunk_int8 would write).
+    from object_detection_torch2_tpu.cli.common import DTYPES
+    from object_detection_torch2_tpu.data.records import RecordDataset
+    from object_detection_torch2_tpu.models import quant as quant_lib
+    from object_detection_torch2_tpu.models.ssd import SSD
+    from object_detection_torch2_tpu.train.checkpoint import load_weights
+
+    import numpy as np
+
+    det_vars = load_weights(res / "detection" / "weights.msgpack")
+    model = SSD(num_classes=21, dtype=DTYPES["bfloat16"])
+    ds = RecordDataset(res / "rec_train")
+    calib = ds.batch(np.arange(32))[0]
+    qd = quant_lib.calibrate_trunk(model, det_vars, [calib], margin=1.25)
+    quant_lib.save_quant(res / "detection" / "quant.json", qd)
+    t1 = time.time()
+    _, map_q, strict_q, _ = eval_cli.main(common + ["--trunk_int8"])
+    out["int8_trunk"] = {
+        "parity_mAP": round(float(map_q), 4),
+        "strict_mAP": round(float(strict_q), 4),
+        "strict_delta_vs_float": round(float(strict_q) - float(strict_map), 4),
+        "eval_seconds": round(time.time() - t1, 1),
+    }
+    full = quant_lib.calibrate_full(model, det_vars, [calib], margin=1.25)
+    quant_lib.save_quant(res / "detection" / "quant_full.json", full)
+    t2 = time.time()
+    _, map_fq, strict_fq, _ = eval_cli.main(common + ["--full_int8"])
+    out["full_int8"] = {
+        "parity_mAP": round(float(map_fq), 4),
+        "strict_mAP": round(float(strict_fq), 4),
+        "strict_delta_vs_float": round(float(strict_fq) - float(strict_map), 4),
+        "eval_seconds": round(time.time() - t2, 1),
+    }
+    (res / "eval.json").write_text(json.dumps(out))
+    print(f"eval int8: trunk parity {map_q:.4f} strict {strict_q:.4f}; "
+          f"full parity {map_fq:.4f} strict {strict_fq:.4f}")
 
 
 # --------------------------------------------------------------------- driver
