@@ -161,7 +161,7 @@ def _aug_config(train_aug: str):
     return {"train": True, "none": False, "reduced_hue": {"hue": 0.05}}[train_aug]
 
 
-def _quant_scales(args, model, variables, dl_train):
+def _quant_scales(args, model, variables, ds_train):
     """Int8 trunk activation scales: load <result_dir>/<purpose>/quant.json if
     present and complete, else abs-max-calibrate over the first --calib_batches
     loader batches and save them for the serving CLIs. A stale quant.json
@@ -194,25 +194,32 @@ def _quant_scales(args, model, variables, dl_train):
         aug_cfg = dict(aug_cfg if isinstance(aug_cfg, dict) else {})
         aug_cfg.setdefault("dtype", getattr(model, "dtype", jnp.float32))
 
+    # Batches come straight from the DATASET, host-side — deliberately NOT
+    # from the DataLoader: its prefetch thread device-places batches
+    # concurrently with this function's jitted calibration steps, and through
+    # the tunneled single-chip runtime that two-thread device-op interleaving
+    # deadlocks the client (round-5 finding: the CLI sat >45 min in
+    # loader.__iter__ while bench-style single-threaded compiles of the SAME
+    # program took 32 s). First-N deterministic images are equivalent for
+    # abs-max calibration; GT boxes are irrelevant (zeros fed to the flip).
     def batches():
-        it = iter(dl_train)
         key = jax.random.PRNGKey(args.seed ^ 0xCA11B)
-        for _ in range(args.calib_batches):
-            try:
-                images, gts = next(it)
-            except StopIteration:
+        n = len(ds_train)
+        for b in range(args.calib_batches):
+            lo = b * args.batch_size
+            if lo >= n:
                 return
-            images = np.asarray(jax.device_get(images))
-            gts = np.asarray(jax.device_get(gts))
-            if images.ndim == 5:  # (K, B, ...) stacked-dispatch loader
-                images = images.reshape(-1, *images.shape[2:])
-                gts = gts.reshape(-1, *gts.shape[2:])
-            images, gts = images[:args.batch_size], gts[:args.batch_size]
+            idx = np.arange(lo, min(lo + args.batch_size, n))
+            if hasattr(ds_train, "batch"):  # RecordDataset: vectorized read
+                images = np.asarray(ds_train.batch(idx)[0])
+            else:
+                images = np.stack([np.asarray(ds_train[i][0]) for i in idx])
             if aug_cfg is False:
                 yield images
             else:
                 key, sub = jax.random.split(key)
-                aug, _ = augment_batch(sub, jnp.asarray(images), jnp.asarray(gts), **aug_cfg)
+                aug, _ = augment_batch(sub, jnp.asarray(images),
+                                       jnp.zeros((len(idx), 1, 25), jnp.float32), **aug_cfg)
                 yield aug
 
     scales = quant_lib.calibrate_trunk(model, variables, batches(), margin=args.calib_margin)
@@ -276,7 +283,7 @@ def main(argv=None):
             if args.train_trunk:
                 raise SystemExit("--trunk_int8 requires a frozen trunk (drop --train_trunk)")
             model = model.clone(trunk_int8=True)
-            quant_scales = _quant_scales(args, model, variables, dl_train)
+            quant_scales = _quant_scales(args, model, variables, ds_train)
         trainer = Trainer(
             model,
             loss_kind="multibox",

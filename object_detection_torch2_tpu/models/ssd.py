@@ -186,14 +186,17 @@ def conv12_staggered_int8(xp: jax.Array, w: jax.Array, b: jax.Array, sx: jax.Arr
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    # slice each half's wpl-wide window BEFORE the dequant epilogue so the
-    # int32->f32 multiply+cast never touches the pad_pairs throwaway columns
-    # (each paired slot's scale is its base channel's scale, so both halves
-    # dequant with the same sw vector)
-    scale = sx * sw
-    ya = (y32[:, :, :wpl, :cout].astype(jnp.float32) * scale).astype(dtype)
-    yb = (y32[:, :, 1:wpl + 1, cout:].astype(jnp.float32) * scale).astype(dtype)
-    y = jnp.concatenate([ya, yb], axis=-1)
+    # Dequant the FULL padded-width tensor, slice after (advisor r4 suggested
+    # slicing the two wpl-wide windows first to skip epilogue work on the
+    # pad_pairs throwaway columns — MEASURED on v5e: that formulation drops
+    # the int8 train step 2098 -> 1522 img/s/chip. Slicing before the multiply
+    # splits the dequant into two consumers, which breaks XLA's fusion of the
+    # dequant into the conv epilogue and materializes the raw int32 conv
+    # output to HBM at 4 B/elem; the <3% of wasted pad-column multiplies are
+    # noise next to that. bf16 control unchanged, so this fusion is the whole
+    # difference.)
+    y = (y32.astype(jnp.float32) * (sx * jnp.tile(sw, 2))).astype(dtype)
+    y = jnp.concatenate([y[:, :, :wpl, :cout], y[:, :, 1:wpl + 1, cout:]], axis=-1)
     return y + jnp.tile(b, 2).astype(dtype)
 
 
@@ -262,6 +265,14 @@ class SSD(nn.Module):
     # FULL calibration (quant.calibrate_full); never legal in Trainer (extras/
     # heads are the TRAINABLE params — Trainer rejects it).
     full_int8: bool = False
+    # conv_1_2 on the int8 staggered path when the trunk is int8. Measured on
+    # v5e bs32 K=8 (bench.py BENCH_TRUNK_INT8=1): blocks-2-5-only int8 with
+    # bf16 conv_1_2 ran 2097.7 img/s/chip (r4 commit e63e008); adding the
+    # int8 conv_1_2 (this knob) measured 1799.7 — the theorized win (halving
+    # conv_1_1's store by quantizing into bn_1_1's epilogue) LOSES ~14% in
+    # practice, see NOTES_ROUND5.md. Default False = the measured-faster
+    # config; calibration still records amax_1_2 so the knob is free to flip.
+    conv12_int8: bool = False
     # Calibration mode: run the float path but record each quantized-input
     # abs-max into the mutable 'quant' collection (models/quant.py
     # calibrate_trunk drives this; with up_to=None the extras/head inputs are
@@ -359,7 +370,7 @@ class SSD(nn.Module):
                 # float-path kernel/stagger perf knobs.
                 amax = self.variable("quant", "amax_1_2",
                                      lambda: jnp.zeros((), jnp.float32))
-                if self.trunk_int8 or self.full_int8:
+                if (self.trunk_int8 or self.full_int8) and self.conv12_int8:
                     sx = jnp.maximum(amax.value, 1e-12) / 127.0
                     xp = conv12_staggered_int8(xp, kernel, bias, sx, self.dtype,
                                                pad_pairs=self.conv12_pad_pairs)
@@ -369,7 +380,10 @@ class SSD(nn.Module):
                     )(xp, mask=batch_mask)
                     xp = nn.relu(xp)
                     break
-                if not self.is_initializing():  # quant_calibrate: record, run float
+                if self.quant_calibrate and not self.is_initializing():
+                    # record, run float (also reached when conv12_int8=False
+                    # keeps conv_1_2 on the bf16 path under an int8 trunk —
+                    # then amax must NOT be written: 'quant' is immutable there)
                     amax.value = jnp.maximum(amax.value,
                                              jnp.max(jnp.abs(xp.astype(jnp.float32))))
                     self.sow("intermediates", "qin_1_2", xp)
@@ -459,7 +473,11 @@ class SSD(nn.Module):
         for block, channels, pool in blocks:
             for sub, ch in enumerate(channels, start=1):
                 suffix = f"{block}_{sub}"
-                if quantize and (block >= 2 or suffix == "1_2"):  # frozen, int8-eligible
+                # frozen, int8-eligible; conv_1_2 int8 execution is gated on
+                # conv12_int8 (measured slower — see the knob), but the
+                # calibrate pass still records amax_1_2 so the knob stays free
+                if quantize and (block >= 2 or (suffix == "1_2"
+                                                and (self.quant_calibrate or self.conv12_int8))):
                     x = self._conv_bn_relu_q(x, suffix, ch, use_batch_stats, batch_mask)
                 else:
                     x = self._conv_bn_relu(x, suffix, ch, 3, 1, 1, train, use_batch_stats, batch_mask)

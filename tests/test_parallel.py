@@ -370,7 +370,17 @@ def test_int8_train_step_dp_equals_single_device(goldens):
     """Int8 frozen-trunk TRAINING under DP ≡ single device: the heads-only
     gradient all-reduce and the int8 trunk forward compose — losses and
     trained head params match across 1 vs 8 devices (SGD, see
-    test_full_ssd_dp_equals_single_device for why not Adam)."""
+    test_full_ssd_dp_equals_single_device for why not Adam).
+
+    Runs in running-stats BN mode: under batch stats the cross-device moment
+    reduction's f32 ordering ulps land on int8 ROUNDING boundaries and flip
+    quantized values by ±1 — measured rel 1.5e-3 loss divergence, discrete
+    amplification the float path doesn't have. Running stats make the trunk's
+    per-sample math (and so every int8 rounding decision) layout-invariant;
+    the quantized activations are bit-identical across shardings and the only
+    cross-device effect left is the heads' gradient all-reduce — which is
+    what this test pins. The batch-stats int8 serving semantics are covered
+    at the continuous level by the float batch-stats DP test above."""
     import jax
     import optax
 
@@ -392,7 +402,7 @@ def test_int8_train_step_dp_equals_single_device(goldens):
     def run(mesh):
         model_q = SSD(num_classes=21, trunk_int8=True)
         trainer = Trainer(model_q, loss_kind="multibox", default_boxes=dfj,
-                          mesh=mesh, quant=qd)
+                          mesh=mesh, quant=qd, use_batch_stats=False)
         # fresh buffer copies per run: train_step donates its state, whose
         # arrays would otherwise alias the shared `variables` on the 2nd run
         state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)),

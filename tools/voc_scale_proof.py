@@ -378,8 +378,14 @@ def main(argv=None):
 
     skip_rank = {"generate": 1, "pack": 2, "pretrain": 3, "bridge": 4, "train": 5}
     done = skip_rank.get(a.skip_through, 0)
-    if done:
-        record = json.loads(proof_path.read_text()) if proof_path.exists() else record
+    if done and proof_path.exists():
+        prev = json.loads(proof_path.read_text())
+        # keep completed-phase artifacts but let THIS run's config describe
+        # the scale (a resumed run may raise --epochs, e.g. the 100-epoch
+        # reference-parity extension)
+        prev["scale"], prev["train_aug"], prev["recipe"] = (
+            record["scale"], record["train_aug"], record["recipe"])
+        record = prev
 
     stage_flags = ["--work_dir", a.work_dir, "--n_train", a.n_train, "--n_test", a.n_test,
                    "--pretrain_n", a.pretrain_n]
