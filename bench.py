@@ -79,11 +79,16 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     log(f"platform={platform} devices={n_dev} batch={batch_size} scan_k={scan_k} dtype={dtype.__name__}")
 
-    # BENCH_TRUNK_INT8=1: frozen trunk blocks 2-5 on the MXU int8 path
-    # (models/quant.py; the frozen-trunk recipe's weights are inference-only
-    # constants). Activation scales are abs-max-calibrated on random batches —
-    # scale VALUES don't affect throughput, only the int8 program shape does.
-    trunk_int8 = os.environ.get("BENCH_TRUNK_INT8", "") == "1"
+    # The FLAGSHIP default runs the frozen trunk's blocks 2-5 on the MXU's
+    # double-rate int8 path (models/quant.py; legal because the reference
+    # freezes the trunk — src/model/ssd.py:31-32,160-179). Measured budget:
+    # INT8_BUDGET.json — parity mAP matches-or-beats the float trunk in every
+    # A/B (serving and trained-with-int8 arms); strict-mAP deltas are within
+    # the small-set noise band, cross-checked at 4,952-image scale in
+    # PROOF_VOC_SCALE.json. BENCH_TRUNK_INT8=0 reverts to the all-bf16 path.
+    # Activation scales are abs-max-calibrated on random batches — scale
+    # VALUES don't affect throughput, only the int8 program shape does.
+    trunk_int8 = os.environ.get("BENCH_TRUNK_INT8", "1" if on_tpu else "") == "1"
 
     mesh = make_mesh()
     model = SSD(num_classes=21, dtype=dtype, trunk_int8=trunk_int8)
